@@ -1,0 +1,110 @@
+"""Unified router tests — mirrors reference test_unified.py: availability
+reporting, solver construction, explicit-backend routing, auto selection
+(:129-154), shortcut methods, module-level convenience functions, error
+handling for invalid backend (:314-344)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_sparse.api import SolverResult, SparseSolver, solve
+from tpu_sparse.api import solver as solver_mod
+from tpu_sparse.api.availability import (
+    availability_dict,
+    get_available_backends,
+    print_availability_report,
+)
+from tpu_sparse.sparse import generators
+
+
+@pytest.fixture(scope="module")
+def spd():
+    A = generators.tridiagonal(64)
+    b = A @ jnp.asarray(np.random.default_rng(0).standard_normal(64))
+    return A, b
+
+
+def test_availability_report():
+    avail = print_availability_report(verbose=False)
+    assert avail["krylov"]
+    assert avail["amg"]
+    assert avail["direct"]
+    assert avail["distributed"]  # 8 virtual CPU devices in conftest
+    assert set(get_available_backends()) == {"krylov", "amg", "direct"}
+
+
+def test_solver_construction():
+    s = SparseSolver()
+    assert s.default_backend == "auto"
+    assert s.default_method == "cg"
+    assert "krylov" in s.available_backends
+
+
+@pytest.mark.parametrize("method", ["cg", "bicgstab", "gmres"])
+def test_auto_routes_iterative_to_krylov(spd, method):
+    A, b = spd
+    s = SparseSolver()
+    x, result = s.solve(A, b, method=method, tol=1e-10)
+    assert result.backend == "krylov"
+    assert result.method == method
+    assert result.converged
+    assert result.residual < 1e-6
+
+
+def test_auto_routes_direct(spd):
+    A, b = spd
+    x, result = solve(A, b, method="direct")
+    assert result.backend == "direct"
+    assert result.converged
+    assert result.residual < 1e-10
+
+
+def test_auto_routes_amg():
+    A = generators.poisson2d(16)
+    b = A @ jnp.asarray(np.random.default_rng(1).standard_normal(256))
+    x, result = solve(A, b, method="amg", tol=1e-8)
+    assert result.backend == "amg"
+    assert result.converged
+    assert result.residual < 1e-6
+
+
+def test_reference_backend_aliases(spd):
+    """module_a/b/c names route to their TPU-native analogues."""
+    A, b = spd
+    s = SparseSolver()
+    x, result = s.solve(A, b, method="cg", backend="module_a", tol=1e-10)
+    assert result.backend == "krylov"
+    x, result = s.solve(A, b, method="direct", backend="module_c")
+    assert result.backend == "direct"
+
+
+def test_shortcut_methods(spd):
+    A, b = spd
+    s = SparseSolver()
+    x, r = s.cg(A, b, tol=1e-10)
+    assert r.converged
+    x, r = s.direct(A, b)
+    assert r.converged
+
+
+def test_module_level_functions(spd):
+    A, b = spd
+    x, r = solver_mod.cg(A, b, tol=1e-10)
+    assert r.converged
+    x, r = solver_mod.direct_solve(A, b)
+    assert r.converged
+
+
+def test_invalid_backend_raises(spd):
+    A, b = spd
+    s = SparseSolver()
+    with pytest.raises(ValueError, match="not available"):
+        s.solve(A, b, backend="nonexistent")
+
+
+def test_result_dataclass(spd):
+    A, b = spd
+    x, r = solve(A, b, method="cg", tol=1e-10)
+    assert isinstance(r, SolverResult)
+    assert r.iterations is not None and r.iterations > 0
+    assert isinstance(r.converged, bool)

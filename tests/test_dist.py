@@ -1,0 +1,99 @@
+"""Distributed-layer tests on the CPU-simulated 8-device mesh.
+
+The reference cannot express any of this (no distributed code, SURVEY.md
+§2.3); validated here against single-device oracles, per the BASELINE.json
+north star."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_sparse.dist import (
+    distributed_cg,
+    halo_dia_spmv,
+    make_row_mesh,
+    shard_dia,
+    shard_vector,
+)
+from tpu_sparse.dist.solvers import distributed_bicgstab
+from tpu_sparse.kernels import spmv
+from tpu_sparse.sparse import generators
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= NDEV
+    return make_row_mesh(NDEV)
+
+
+def test_halo_spmv_matches_local(mesh):
+    A = generators.poisson2d(16)  # n=256, divisible by 8; bandwidth 16 < 32
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(256))
+    y_local = spmv(A, x)
+    A_sh = shard_dia(A, mesh)
+    x_sh = shard_vector(x, mesh)
+    y_dist = halo_dia_spmv(A_sh, x_sh, mesh)
+    np.testing.assert_allclose(np.asarray(y_dist), np.asarray(y_local),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_halo_spmv_nondivisible(mesh):
+    # n=100 pads to 104; identity padding leaves result correct on :100
+    A = generators.tridiagonal(100)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(100))
+    from tpu_sparse.dist.partition import pad_vector
+
+    A_sh = shard_dia(A, mesh)
+    x_sh = shard_vector(x, mesh)
+    y = halo_dia_spmv(A_sh, x_sh, mesh)
+    np.testing.assert_allclose(np.asarray(y[:100]), np.asarray(spmv(A, x)),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["gspmd", "halo"])
+def test_distributed_cg_matches_serial(mesh, mode):
+    A = generators.poisson2d(16)
+    n = A.shape[0]
+    rng = np.random.default_rng(2)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = A @ x_true
+    x, info, iters, res = distributed_cg(A, b, mesh=mesh, mode=mode,
+                                         tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-6, atol=1e-8)
+    # bit-comparable convergence: same iteration count as single-device
+    from tpu_sparse.solvers import cg_full
+
+    _, _, iters_serial, _ = cg_full(A, b, tol=1e-10)
+    assert abs(int(iters) - int(iters_serial)) <= 2
+
+
+def test_distributed_bicgstab(mesh):
+    A = generators.convection_diffusion(128)
+    rng = np.random.default_rng(3)
+    x_true = jnp.asarray(rng.standard_normal(128))
+    b = A @ x_true
+    x, info, iters, res = distributed_bicgstab(A, b, mesh=mesh, mode="halo",
+                                               tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_distributed_cg_poisson3d(mesh):
+    """27-point 3-D stencil (the north-star operator) on the virtual mesh."""
+    # nx=10 → n=1000, shard 125 ≥ bandwidth 10·10+10+1=111
+    A = generators.poisson3d_27pt(10, dtype=np.float64)
+    n = A.shape[0]
+    rng = np.random.default_rng(4)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = A @ x_true
+    x, info, iters, res = distributed_cg(A, b, mesh=mesh, mode="halo",
+                                         tol=1e-8)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,42 @@
+"""FVM lid-driven cavity end-to-end test (reference FVM_example parity).
+
+Checks: divergence-free flow after projection, physically-sensible lid-driven
+circulation, and solver-backend pluggability."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from examples.ldc import LDCConfig, LDCSolver, build_pressure_matrix
+
+
+def test_pressure_matrix_structure():
+    A = build_pressure_matrix(8, 8, 0.125, 0.125)
+    D = np.asarray(A.todense())
+    np.testing.assert_allclose(D, D.T, atol=1e-12)  # symmetric
+    # Neumann: zero row sums (constant null space)
+    np.testing.assert_allclose(D.sum(axis=1), 0.0, atol=1e-9)
+    # PSD: eigvals >= 0
+    w = np.linalg.eigvalsh(D)
+    assert w.min() > -1e-9
+
+
+@pytest.mark.parametrize("solver_name", ["cg", "bicgstab"])
+def test_ldc_short_run(solver_name):
+    cfg = LDCConfig(nx=16, Re=100.0, solver=solver_name, tol=1e-8)
+    s = LDCSolver(cfg)
+    stats = s.run(10)
+    # incompressibility enforced
+    assert stats["mass_residual"] < 1e-6
+    # lid drags fluid: top interior u must be positive, and some circulation
+    u_top = float(jnp.mean(s.u[-2, 1:-1]))
+    assert u_top > 0.01
+    assert np.all(np.isfinite(np.asarray(s.u)))
+    assert np.all(np.isfinite(np.asarray(s.v)))
+
+
+def test_ldc_amg_precond():
+    cfg = LDCConfig(nx=16, Re=100.0, solver="cg", precond="amg", tol=1e-8)
+    s = LDCSolver(cfg)
+    stats = s.run(5)
+    assert stats["mass_residual"] < 1e-6

@@ -1,0 +1,148 @@
+"""Krylov solver correctness — mirrors reference test_module_a.py:
+CG on SPD tridiagonal (:93-124), BiCGStab on nonsymmetric (:126-161),
+GMRES with restart (:163-195), matrix-free operators (:197-232),
+CG on 2-D Poisson (:234-271), batched/incremental GMRES parity (:273-315).
+Tolerance tiers follow SURVEY.md §4: iterative rel-residual < 1e-6."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_sparse.solvers import bicgstab, bicgstab_full, cg, cg_full, gmres, gmres_full
+from tpu_sparse.sparse import generators
+from tpu_sparse.sparse.convert import to_csr
+
+
+def rel_residual(A, x, b):
+    Ax = A @ x if not callable(A) else A(x)
+    return float(jnp.linalg.norm(b - Ax) / jnp.linalg.norm(b))
+
+
+def make_b(A, seed=0):
+    n = A.shape[0]
+    x_true = jnp.asarray(np.random.default_rng(seed).standard_normal(n))
+    return A @ x_true, x_true
+
+
+class TestCG:
+    def test_tridiagonal_spd(self):
+        A = generators.tridiagonal(64)
+        b, x_true = make_b(A)
+        x, info = cg(A, b, tol=1e-10)
+        assert int(info) == 0
+        assert rel_residual(A, x, b) < 1e-6
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_poisson2d(self):
+        A = generators.poisson2d(8)  # 64 dof, matches tridiag size for cache
+        b, _ = make_b(A)
+        x, info, iters, res = cg_full(A, b, tol=1e-8)
+        assert int(info) == 0
+        assert int(iters) > 0
+        assert rel_residual(A, x, b) < 1e-6
+
+    def test_matrix_free(self):
+        A = generators.tridiagonal(64)
+
+        def op(v):
+            return A @ v
+
+        b, _ = make_b(A)
+        x, info = cg(op, b, tol=1e-10)
+        assert int(info) == 0
+        assert rel_residual(A, x, b) < 1e-6
+
+    def test_csr_operand(self):
+        A = generators.tridiagonal(64)
+        Acsr = to_csr(A)
+        b, _ = make_b(A)
+        x, info = cg(Acsr, b, tol=1e-10)
+        assert int(info) == 0
+        assert rel_residual(Acsr, x, b) < 1e-6
+
+    def test_pytree_operands(self):
+        """Solve a block-diagonal system expressed as a 2-leaf pytree."""
+        A1 = generators.tridiagonal(64)
+        A2 = generators.poisson2d(8)
+
+        def op(v):
+            return {"a": A1 @ v["a"], "p": A2 @ v["p"]}
+
+        rng = np.random.default_rng(1)
+        xt = {"a": jnp.asarray(rng.standard_normal(64)),
+              "p": jnp.asarray(rng.standard_normal(64))}
+        b = op(xt)
+        x, info = cg(op, b, tol=1e-10)
+        assert int(info) == 0
+        np.testing.assert_allclose(np.asarray(x["a"]), np.asarray(xt["a"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x["p"]), np.asarray(xt["p"]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_maxiter_nonconvergence(self):
+        A = generators.poisson2d(8)
+        b, _ = make_b(A)
+        x, info = cg(A, b, tol=1e-12, maxiter=2)
+        assert int(info) == -1
+
+    def test_jit(self):
+        A = generators.tridiagonal(64)
+        b, _ = make_b(A)
+        f = jax.jit(lambda a, rhs: cg(a, rhs, tol=1e-10)[0])
+        x = f(A, b)
+        assert rel_residual(A, x, b) < 1e-6
+
+
+class TestBiCGStab:
+    def test_nonsymmetric(self):
+        A = generators.convection_diffusion(64)
+        b, _ = make_b(A)
+        x, info = bicgstab(A, b, tol=1e-10)
+        assert int(info) == 0
+        assert rel_residual(A, x, b) < 1e-6
+
+    def test_preconditioned(self):
+        A = generators.convection_diffusion(64)
+        b, _ = make_b(A)
+        diag = A.data[1]  # DIA main diagonal
+        M = jax.tree_util.Partial(lambda d, v: v / d, diag)
+        x, info = bicgstab(A, b, tol=1e-10, M=M)
+        assert int(info) == 0
+        assert rel_residual(A, x, b) < 1e-6
+
+
+class TestGMRES:
+    def test_nonsymmetric_batched(self):
+        A = generators.convection_diffusion(64)
+        b, _ = make_b(A)
+        x, info = gmres(A, b, tol=1e-10, restart=30)
+        assert int(info) == 0
+        assert rel_residual(A, x, b) < 1e-6
+
+    def test_incremental(self):
+        A = generators.convection_diffusion(64)
+        b, _ = make_b(A)
+        x, info = gmres(A, b, tol=1e-10, restart=30,
+                        solve_method="incremental")
+        assert int(info) == 0
+        assert rel_residual(A, x, b) < 1e-6
+
+    def test_batched_incremental_parity(self):
+        """Reference test_module_a.py:273-315."""
+        A = generators.convection_diffusion(64)
+        b, _ = make_b(A, seed=3)
+        xb, ib = gmres(A, b, tol=1e-10, restart=30, solve_method="batched")
+        xi, ii = gmres(A, b, tol=1e-10, restart=30,
+                       solve_method="incremental")
+        assert int(ib) == 0 and int(ii) == 0
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xi),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_spd(self):
+        A = generators.tridiagonal(64)
+        b, _ = make_b(A)
+        x, info = gmres(A, b, tol=1e-10, restart=30)
+        assert int(info) == 0
+        assert rel_residual(A, x, b) < 1e-6

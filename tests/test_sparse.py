@@ -1,0 +1,144 @@
+"""Container + conversion + kernel correctness vs scipy oracles.
+
+Mirrors the reference's fixture pattern: deterministic generators and
+b = A @ x_true ground truth (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpu_sparse.kernels import reference as kref
+from tpu_sparse.kernels import spmm, spmv
+from tpu_sparse.sparse import (
+    COO, CSR, DIA,
+    coo_to_csr, csr_to_bsr, csr_to_dia, dense_to_coo, dense_to_csr, generators,
+)
+
+
+def random_dense(rng, n, m, density=0.3):
+    A = rng.standard_normal((n, m))
+    A[rng.random((n, m)) > density] = 0.0
+    return A
+
+
+@pytest.mark.parametrize("n,m", [(17, 17), (32, 48), (5, 3)])
+def test_dense_csr_roundtrip(rng, n, m):
+    A = random_dense(rng, n, m)
+    Acsr = dense_to_csr(A)
+    np.testing.assert_allclose(np.asarray(Acsr.todense()), A, atol=1e-14)
+    Acoo = dense_to_coo(A)
+    np.testing.assert_allclose(np.asarray(Acoo.todense()), A, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(coo_to_csr(Acoo).todense()), A, atol=1e-14)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo", "dia", "bsr"])
+def test_spmv_matches_scipy(rng, fmt):
+    n = 64
+    A = random_dense(rng, n, n, density=0.2)
+    x = rng.standard_normal(n)
+    expected = A @ x
+    Acsr = dense_to_csr(A)
+    if fmt == "csr":
+        op = Acsr
+    elif fmt == "coo":
+        op = Acsr.tocoo()
+    elif fmt == "dia":
+        op = csr_to_dia(Acsr, max_diags=256)
+        assert op is not None
+    else:
+        op = csr_to_bsr(Acsr, 8)
+    got = np.asarray(spmv(op, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
+    # __matmul__ operator
+    got2 = np.asarray(op @ jnp.asarray(x))
+    np.testing.assert_allclose(got2, expected, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo", "dia", "bsr"])
+def test_spmm_matches_scipy(rng, fmt):
+    n, k = 48, 5
+    A = random_dense(rng, n, n, density=0.2)
+    B = rng.standard_normal((n, k))
+    expected = A @ B
+    Acsr = dense_to_csr(A)
+    op = {
+        "csr": Acsr,
+        "coo": Acsr.tocoo(),
+        "dia": csr_to_dia(Acsr, max_diags=256),
+        "bsr": csr_to_bsr(Acsr, 8),
+    }[fmt]
+    got = np.asarray(spmm(op, jnp.asarray(B)))
+    np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
+
+
+def test_transpose(rng):
+    n = 40
+    A = random_dense(rng, n, n, density=0.2)
+    Acsr = dense_to_csr(A)
+    np.testing.assert_allclose(np.asarray(Acsr.T.todense()), A.T, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(Acsr.tocoo().T.todense()), A.T, atol=1e-14)
+    Adia = csr_to_dia(Acsr, max_diags=256)
+    np.testing.assert_allclose(np.asarray(Adia.T.todense()), A.T, atol=1e-14)
+
+
+def test_generators_match_scipy_stencils():
+    # tridiagonal: scipy oracle
+    n = 25
+    T = generators.tridiagonal(n)
+    S = sp.diags([[-1.0] * (n - 1), [2.0] * n, [-1.0] * (n - 1)],
+                 [-1, 0, 1]).toarray()
+    np.testing.assert_allclose(np.asarray(T.todense()), S, atol=1e-14)
+
+    # poisson2d: compare against kron-built 5-point laplacian
+    nx = 7
+    I = sp.eye(nx)
+    T1 = sp.diags([[-1.0] * (nx - 1), [2.0] * nx, [-1.0] * (nx - 1)],
+                  [-1, 0, 1])
+    L = sp.kron(I, T1) + sp.kron(T1, I)
+    P = generators.poisson2d(nx)
+    np.testing.assert_allclose(np.asarray(P.todense()), L.toarray(),
+                               atol=1e-14)
+
+
+def test_poisson3d_27pt_structure():
+    nx = 4
+    A = generators.poisson3d_27pt(nx)
+    D = np.asarray(A.todense())
+    # symmetric, diagonally dominant
+    np.testing.assert_allclose(D, D.T, atol=1e-6)
+    assert np.all(np.diag(D) == 26.0)
+    off = D - np.diag(np.diag(D))
+    assert np.all(np.abs(off).sum(axis=1) <= 26.0)
+    # interior node has all 26 neighbors
+    interior = (nx * nx + nx + 1)
+    assert (D[interior] != 0).sum() == 27
+
+
+def test_spmv_jit_and_grad(rng):
+    """SpMV must be jittable and linear-differentiable in data and x."""
+    n = 32
+    A = dense_to_csr(random_dense(rng, n, n, density=0.3))
+    x = jnp.asarray(rng.standard_normal(n))
+
+    f = jax.jit(lambda a, v: spmv(a, v))
+    np.testing.assert_allclose(np.asarray(f(A, x)), np.asarray(spmv(A, x)),
+                               atol=1e-14)
+
+    # d/d data of sum(A@x) == x[indices] summed per entry position
+    g = jax.grad(lambda d: jnp.sum(spmv(A.with_data(d), x)))(A.data)
+    expected = np.asarray(x)[np.asarray(A.indices)]
+    np.testing.assert_allclose(np.asarray(g), expected, atol=1e-12)
+
+
+def test_dia_spmv_rectangular():
+    # offsets reaching outside a rectangular matrix
+    data = jnp.ones((2, 3))
+    A = DIA(data, (0, 2), (3, 5))
+    x = jnp.arange(5.0)
+    got = np.asarray(kref.dia_spmv(A, x))
+    D = np.asarray(A.todense())
+    np.testing.assert_allclose(got, D @ np.arange(5.0), atol=1e-14)

@@ -1,0 +1,254 @@
+"""Unified solver router: `SparseSolver`, `solve`, `SolverResult`.
+
+Parity target: the reference's unified interface (solver.py:56-576):
+`SparseSolver` with auto backend selection, per-method dispatch, residual
+recomputation, and `SolverResult{x, converged, iterations, residual,
+backend, method}`, plus module-level convenience functions
+`solve/cg/bicgstab/gmres/amg/direct_solve` (:524-576).
+
+TPU-native differences: backends are mathematical roles, not external
+libraries — 'krylov' (Module A analogue), 'amg' (Module B analogue),
+'direct' (Module C analogue) — and the router also accepts the reference's
+backend names ('module_a'/'module_b'/'module_c') as aliases.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+from enum import Enum
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from tpu_sparse.api import availability
+from tpu_sparse.kernels import as_matvec
+from tpu_sparse.sparse.containers import is_sparse
+from tpu_sparse.utils.tree import tree_norm, tree_sub
+
+
+class SolverMethod(Enum):
+    CG = "cg"
+    BICGSTAB = "bicgstab"
+    GMRES = "gmres"
+    AMG = "amg"
+    DIRECT = "direct"
+
+
+class SolverBackend(Enum):
+    KRYLOV = "krylov"
+    AMG = "amg"
+    DIRECT = "direct"
+    AUTO = "auto"
+
+
+_BACKEND_ALIASES = {
+    # reference names (solver.py:64-70) map onto their TPU-native analogues
+    "module_a": "krylov",
+    "module_b": "amg",
+    "module_c": "direct",
+    "auto": "auto",
+    "krylov": "krylov",
+    "amg": "amg",
+    "direct": "direct",
+}
+
+
+@dataclass
+class SolverResult:
+    """Mirror of reference SolverResult (solver.py:73-82)."""
+
+    x: jax.Array
+    converged: bool
+    iterations: Optional[int]
+    residual: Optional[float]
+    backend: str
+    method: str
+
+
+class SparseSolver:
+    """Unified sparse linear-system solver (reference solver.py:84-508).
+
+    Example:
+        >>> solver = SparseSolver()
+        >>> x, result = solver.solve(A, b, method='cg')
+    """
+
+    def __init__(self, default_backend: str = "auto",
+                 default_method: str = "cg", verbose: bool = False):
+        self.verbose = verbose
+        self.default_backend = default_backend
+        self.default_method = default_method
+        self._available: Optional[List[str]] = None
+
+    @property
+    def available_backends(self) -> List[str]:
+        if self._available is None:
+            self._available = availability.get_available_backends()
+        return self._available
+
+    # -- selection ----------------------------------------------------------
+
+    def _select_backend(self, backend: str, method: str) -> Tuple[str, str]:
+        """Auto-selection rules mirroring reference solver.py:194-254:
+        direct→direct backend, amg→amg backend, otherwise krylov."""
+        backend = _BACKEND_ALIASES.get(backend, backend)
+        available = self.available_backends
+        if not available:
+            raise RuntimeError("No sparse solver backends are available!")
+
+        if backend != "auto":
+            if backend not in available:
+                raise ValueError(
+                    f"Backend '{backend}' is not available. "
+                    f"Available backends: {available}"
+                )
+            return backend, method
+
+        if method == "direct":
+            if "direct" in available:
+                return "direct", "direct"
+            raise ValueError(
+                "Direct solver backend is not available; use an iterative "
+                "method (cg, bicgstab, gmres) instead."
+            )
+        if method == "amg":
+            if "amg" in available:
+                return "amg", "amg"
+            raise ValueError("AMG backend is not available.")
+        if "krylov" in available:
+            return "krylov", method
+        return available[0], method
+
+    # -- solving ------------------------------------------------------------
+
+    def solve(self, A: Union[Any, Callable], b: jax.Array,
+              x0: Optional[jax.Array] = None, *, method: Optional[str] = None,
+              backend: Optional[str] = None, tol: float = 1e-6,
+              atol: float = 0.0, maxiter: Optional[int] = None,
+              M: Optional[Any] = None, restart: int = 20,
+              solve_method: str = "batched",
+              **kwargs) -> Tuple[jax.Array, SolverResult]:
+        """Solve Ax = b. Returns (x, SolverResult)."""
+        method = method or self.default_method
+        backend = backend or self.default_backend
+        sel_backend, sel_method = self._select_backend(backend, method)
+        if self.verbose:
+            print(f"[SparseSolver] backend={sel_backend} method={sel_method}")
+
+        if sel_backend == "krylov":
+            x, info, iters, res = self._solve_krylov(
+                A, b, x0, sel_method, tol, atol, maxiter, M, restart,
+                solve_method)
+        elif sel_backend == "amg":
+            x, info, iters, res = self._solve_amg(
+                A, b, x0, sel_method, tol, atol, maxiter, **kwargs)
+        elif sel_backend == "direct":
+            x, info, iters, res = self._solve_direct(A, b, **kwargs)
+        else:
+            raise ValueError(f"unknown backend {sel_backend}")
+
+        converged = bool(info == 0)
+        residual = self._relative_residual(A, b, x)
+        result = SolverResult(
+            x=x, converged=converged,
+            iterations=None if iters is None else int(iters),
+            residual=residual, backend=sel_backend, method=sel_method,
+        )
+        return x, result
+
+    def _relative_residual(self, A, b, x) -> float:
+        try:
+            r = tree_norm(tree_sub(b, as_matvec(A)(x)))
+            bn = tree_norm(b)
+            return float(r / jnp.where(bn > 0, bn, 1.0))
+        except Exception:
+            return float("nan")
+
+    def _solve_krylov(self, A, b, x0, method, tol, atol, maxiter, M,
+                      restart, solve_method):
+        from tpu_sparse.autodiff import bicgstab_diff, cg_diff, gmres_diff
+
+        if method == "cg":
+            return cg_diff(A, b, x0, tol=tol, atol=atol, maxiter=maxiter, M=M)
+        if method == "bicgstab":
+            return bicgstab_diff(A, b, x0, tol=tol, atol=atol,
+                                 maxiter=maxiter, M=M)
+        if method == "gmres":
+            return gmres_diff(A, b, x0, tol=tol, atol=atol, restart=restart,
+                              maxiter=maxiter, M=M, solve_method=solve_method)
+        raise ValueError(f"unknown krylov method: {method}")
+
+    def _solve_amg(self, A, b, x0, method, tol, atol, maxiter, **kwargs):
+        from tpu_sparse.precond.amg import amg_solve
+
+        x, info, iters, res = amg_solve(
+            A, b, x0=x0, tol=tol, atol=atol,
+            maxiter=maxiter if maxiter is not None else 100, **kwargs)
+        return x, info, iters, res
+
+    def _solve_direct(self, A, b, **kwargs):
+        from tpu_sparse.direct import direct_solve_diff
+
+        x = direct_solve_diff(A, b, **kwargs)
+        res = tree_norm(tree_sub(b, as_matvec(A)(x)))
+        bn = tree_norm(b)
+        ok = jnp.isfinite(res) & (res <= 1e-6 * jnp.maximum(bn, 1.0))
+        info = jnp.where(ok, 0, -1)
+        return x, info, None, res
+
+    # -- shortcuts (reference solver.py:455-508) ----------------------------
+
+    def cg(self, A, b, **kw):
+        return self.solve(A, b, method="cg", **kw)
+
+    def bicgstab(self, A, b, **kw):
+        return self.solve(A, b, method="bicgstab", **kw)
+
+    def gmres(self, A, b, **kw):
+        return self.solve(A, b, method="gmres", **kw)
+
+    def amg(self, A, b, **kw):
+        return self.solve(A, b, method="amg", **kw)
+
+    def direct(self, A, b, **kw):
+        return self.solve(A, b, method="direct", **kw)
+
+
+# -- module-level convenience API (reference solver.py:508-576) --------------
+
+_default_solver: Optional[SparseSolver] = None
+
+
+def _get_default_solver() -> SparseSolver:
+    global _default_solver
+    if _default_solver is None:
+        _default_solver = SparseSolver()
+    return _default_solver
+
+
+def solve(A, b, method: str = "cg", backend: str = "auto", **kwargs):
+    """Solve Ax=b via the shared default SparseSolver."""
+    return _get_default_solver().solve(A, b, method=method, backend=backend,
+                                       **kwargs)
+
+
+def cg(A, b, **kwargs):
+    return solve(A, b, method="cg", **kwargs)
+
+
+def bicgstab(A, b, **kwargs):
+    return solve(A, b, method="bicgstab", **kwargs)
+
+
+def gmres(A, b, **kwargs):
+    return solve(A, b, method="gmres", **kwargs)
+
+
+def amg(A, b, **kwargs):
+    return solve(A, b, method="amg", backend="amg", **kwargs)
+
+
+def direct_solve(A, b, **kwargs):
+    return solve(A, b, method="direct", backend="direct", **kwargs)

@@ -1,0 +1,92 @@
+"""Distributed Krylov solves over a row-partitioned mesh.
+
+Two modes (BASELINE.json north star; SURVEY.md §7 stage 7):
+
+* ``gspmd``: shard the operands with NamedSharding and run the ordinary
+  Krylov solvers under jit — XLA's SPMD partitioner inserts the
+  collective-permutes for the stencil shifts and all-reduces for the dot
+  products automatically (the scaling-book recipe: pick a mesh, annotate
+  shardings, let XLA insert collectives).
+* ``halo``: the SpMV is an explicit shard_map halo-exchange kernel
+  (dist/spmv.py); dot products still auto-psum at the jit level. Gives
+  deterministic, inspectable communication — the bit-comparable-convergence
+  path.
+
+Both reuse the exact single-device solver code: the solver is generic over
+the operator, so distribution is purely an operand/operator concern.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from tpu_sparse.dist.mesh import make_row_mesh, replicated, row_sharding
+from tpu_sparse.dist.partition import pad_vector, shard_dia, shard_vector
+from tpu_sparse.dist.spmv import make_halo_spmv
+from tpu_sparse.solvers.krylov import bicgstab_full, cg_full
+from tpu_sparse.sparse.containers import DIA
+
+
+def distributed_matvec_op(A: DIA, mesh: Mesh, mode: str = "gspmd"):
+    """Shard A and return (A_sharded, matvec) for the chosen mode."""
+    A_sh = shard_dia(A, mesh)
+    if mode == "halo":
+        return A_sh, make_halo_spmv(A_sh, mesh)
+    if mode == "gspmd":
+        from tpu_sparse.kernels import reference as kref
+
+        return A_sh, lambda x: kref.dia_spmv_padded(A_sh, x)
+    raise ValueError(f"unknown mode: {mode}")
+
+
+def distributed_cg(A: DIA, b: jax.Array, x0: Optional[jax.Array] = None, *,
+                   mesh: Optional[Mesh] = None, mode: str = "gspmd",
+                   tol: float = 1e-6, atol: float = 0.0,
+                   maxiter: Optional[int] = None,
+                   M: Optional[Callable] = None):
+    """CG on a row-partitioned banded system.
+
+    Returns (x, info, iters, res) with x sharded over the mesh. The result
+    is unpadded to b's original length on return.
+    """
+    if mesh is None:
+        mesh = make_row_mesh()
+    n_orig = b.shape[0]
+    A_sh, matvec = distributed_matvec_op(A, mesh, mode)
+    b_sh = shard_vector(b, mesh)
+    x0_sh = shard_vector(x0, mesh) if x0 is not None else None
+
+    @partial(jax.jit, static_argnums=())
+    def _run(bb, xx0):
+        return cg_full(matvec, bb, xx0, tol=tol, atol=atol, maxiter=maxiter,
+                       M=M)
+
+    x, info, iters, res = _run(b_sh, x0_sh)
+    return x[:n_orig], info, iters, res
+
+
+def distributed_bicgstab(A: DIA, b: jax.Array,
+                         x0: Optional[jax.Array] = None, *,
+                         mesh: Optional[Mesh] = None, mode: str = "gspmd",
+                         tol: float = 1e-6, atol: float = 0.0,
+                         maxiter: Optional[int] = None,
+                         M: Optional[Callable] = None):
+    if mesh is None:
+        mesh = make_row_mesh()
+    n_orig = b.shape[0]
+    A_sh, matvec = distributed_matvec_op(A, mesh, mode)
+    b_sh = shard_vector(b, mesh)
+    x0_sh = shard_vector(x0, mesh) if x0 is not None else None
+
+    @jax.jit
+    def _run(bb, xx0):
+        return bicgstab_full(matvec, bb, xx0, tol=tol, atol=atol,
+                             maxiter=maxiter, M=M)
+
+    x, info, iters, res = _run(b_sh, x0_sh)
+    return x[:n_orig], info, iters, res

@@ -1,0 +1,87 @@
+"""Distributed SpMV with explicit halo exchange (shard_map + ppermute).
+
+Each device owns a contiguous block of rows of a DIA matrix plus the
+matching slice of x. One SpMV:
+
+  1. neighbor halo strips of width = bandwidth move over ICI via
+     `lax.ppermute` (left and right concurrently — both directions of the
+     ring are used),
+  2. the local stencil SpMV runs on the VPU over [halo_l | x_local | halo_r],
+  3. no reduction is needed (row partitioning ⇒ each output row is local).
+
+XLA's latency-hiding scheduler overlaps the two ppermutes with the start of
+the local compute on the interior rows. This is the TPU-native replacement
+for a NCCL halo exchange (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax>=0.4.35 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_mod  # type: ignore
+
+    shard_map = _shard_map_mod.shard_map if hasattr(
+        _shard_map_mod, "shard_map") else _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from tpu_sparse.dist.mesh import ROW_AXIS
+from tpu_sparse.sparse.containers import DIA
+
+
+def _local_dia_spmv_ext(data: jax.Array, x_ext: jax.Array,
+                        offsets: tuple, w: int) -> jax.Array:
+    """y[i] = Σ_d data[d, i] * x_ext[w + i + o_d]; x_ext has w-wide halos."""
+    s = data.shape[1]
+    y = jnp.zeros((s,), dtype=jnp.result_type(data.dtype, x_ext.dtype))
+    for d, o in enumerate(offsets):
+        y = y + data[d] * lax.dynamic_slice(x_ext, (w + o,), (s,))
+    return y
+
+
+def _halo_exchange(x_local: jax.Array, w: int, n_dev: int):
+    """Fetch right edge of left neighbor and left edge of right neighbor."""
+    # halo from left neighbor: device i receives x_local[-w:] of device i-1
+    send_right = [(i, i + 1) for i in range(n_dev - 1)]
+    left_halo = lax.ppermute(x_local[-w:], ROW_AXIS, perm=send_right)
+    # halo from right neighbor: device i receives x_local[:w] of device i+1
+    send_left = [(i + 1, i) for i in range(n_dev - 1)]
+    right_halo = lax.ppermute(x_local[:w], ROW_AXIS, perm=send_left)
+    return left_halo, right_halo
+
+
+def make_halo_spmv(A: DIA, mesh: Mesh) -> Callable[[jax.Array], jax.Array]:
+    """Return x ↦ A@x with explicit halo exchange over ``mesh``.
+
+    ``A`` must already be row-sharded (dist.partition.shard_dia)."""
+    w = max(A.bandwidth, 1)
+    n_dev = mesh.devices.size
+    offsets = A.offsets
+
+    def local_fn(data_local, x_local):
+        left, right = _halo_exchange(x_local, w, n_dev)
+        x_ext = jnp.concatenate([left, x_local, right])
+        return _local_dia_spmv_ext(data_local, x_ext, offsets, w)
+
+    shmapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, ROW_AXIS), P(ROW_AXIS)),
+        out_specs=P(ROW_AXIS),
+    )
+
+    def spmv_fn(x):
+        return shmapped(A.data, x)
+
+    return spmv_fn
+
+
+def halo_dia_spmv(A: DIA, x: jax.Array, mesh: Mesh) -> jax.Array:
+    """One-shot distributed SpMV (see make_halo_spmv)."""
+    return make_halo_spmv(A, mesh)(x)

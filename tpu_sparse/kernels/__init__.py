@@ -1,0 +1,81 @@
+"""Kernel dispatch: route SpMV/SpMM to the best implementation.
+
+On TPU, DIA matrices route to the Pallas double-buffered stencil kernel and
+BSR to the Pallas MXU block kernel (kernels/pallas_spmv.py); everything else
+(and every CPU run) uses the XLA reference kernels, which are themselves
+jit-compiled and fully fused.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Union
+
+import jax
+import jax.numpy as jnp
+
+from tpu_sparse.kernels import reference as ref
+from tpu_sparse.sparse.containers import BSR, COO, CSR, DIA, is_sparse
+
+_PALLAS_ENABLED = True
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def set_pallas_enabled(enabled: bool) -> None:
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = enabled
+
+
+def spmv(A, x: jax.Array) -> jax.Array:
+    """y = A @ x for any container / dense matrix."""
+    if isinstance(A, DIA):
+        if _PALLAS_ENABLED and _on_tpu():
+            from tpu_sparse.kernels import pallas_spmv
+
+            y = pallas_spmv.dia_spmv_pallas(A, x)
+            if y is not None:
+                return y
+        return ref.dia_spmv(A, x)
+    if isinstance(A, CSR):
+        return ref.csr_spmv(A, x)
+    if isinstance(A, COO):
+        return ref.coo_spmv(A, x)
+    if isinstance(A, BSR):
+        if _PALLAS_ENABLED and _on_tpu():
+            from tpu_sparse.kernels import pallas_spmv
+
+            y = pallas_spmv.bsr_spmv_pallas(A, x)
+            if y is not None:
+                return y
+        return ref.bsr_spmv(A, x)
+    # dense
+    return jnp.dot(A, x, precision=jax.lax.Precision.HIGHEST)
+
+
+def spmm(A, B: jax.Array) -> jax.Array:
+    """Y = A @ B with dense B (multi-RHS)."""
+    if isinstance(A, DIA):
+        return ref.dia_spmm(A, B)
+    if isinstance(A, CSR):
+        return ref.csr_spmm(A, B)
+    if isinstance(A, COO):
+        return ref.coo_spmm(A, B)
+    if isinstance(A, BSR):
+        return ref.bsr_spmm(A, B)
+    return jnp.dot(A, B, precision=jax.lax.Precision.HIGHEST)
+
+
+def as_matvec(A) -> Callable:
+    """Normalize an operator (sparse container, dense matrix, or callable)
+    into a matvec closure — the analogue of the reference's
+    `_normalize_matvec` (torch_sparse_linalg.py:176-208)."""
+    if callable(A) and not is_sparse(A):
+        return A
+    if is_sparse(A) or isinstance(A, (jax.Array,)) or hasattr(A, "ndim"):
+        return lambda x: spmv(A, x)
+    raise TypeError(f"unsupported operator type: {type(A)}")

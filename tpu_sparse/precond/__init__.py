@@ -1,0 +1,19 @@
+from tpu_sparse.precond.jacobi import (
+    diagonal,
+    jacobi_preconditioner,
+    l1_jacobi_diag,
+)
+from tpu_sparse.precond.amg import (
+    AMGHierarchy,
+    AMGLevel,
+    amg_preconditioner,
+    amg_setup,
+    amg_solve,
+    v_cycle,
+)
+
+__all__ = [
+    "diagonal", "jacobi_preconditioner", "l1_jacobi_diag",
+    "AMGHierarchy", "AMGLevel", "amg_preconditioner", "amg_setup",
+    "amg_solve", "v_cycle",
+]

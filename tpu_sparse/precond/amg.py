@@ -1,0 +1,249 @@
+"""Aggregation algebraic multigrid (TPU-native replacement for AMGX).
+
+Capability parity target: the reference's Module B AMG configuration
+(torch_amgx.py:47-99) — AGGREGATION coarsening with SIZE_4 selector,
+JACOBI_L1 smoother with 0 pre- / 3 post-sweeps, ≤50 levels, deterministic
+setup — not AMGX's full feature matrix (SURVEY.md §7 stage 6).
+
+TPU-first split:
+
+* **Setup phase on host** (numpy/scipy): strength-of-connection graph,
+  greedy size-4 aggregation, tentative piecewise-constant prolongator,
+  Galerkin RAP products. Graph algorithms have data-dependent shapes, which
+  XLA cannot trace; the reference's own AMGX setup is likewise a host-driven
+  native phase (torch_amgx.py:140). Deterministic by construction (fixed
+  iteration order).
+* **Solve phase fully on device**: the hierarchy is a pytree of sparse
+  containers; one V-cycle is a pure jit-safe function (static level count),
+  with L1-Jacobi smoothing and a dense coarse solve. Usable standalone
+  (`amg_solve` = AMG-preconditioned CG, matching AMGX's accelerated "CG
+  cycle" behavior) or as an `M=` preconditioner for any Krylov solver.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import Partial
+
+from tpu_sparse.kernels import spmv
+from tpu_sparse.sparse.containers import CSR, DIA, is_sparse
+from tpu_sparse.sparse.convert import csr_from_arrays, to_csr
+
+
+# --------------------------------------------------------------------------
+# Host-side setup
+# --------------------------------------------------------------------------
+
+
+def _to_scipy_csr(A) -> sp.csr_matrix:
+    Ac = to_csr(A)
+    return sp.csr_matrix(
+        (np.asarray(Ac.data), np.asarray(Ac.indices), np.asarray(Ac.indptr)),
+        shape=Ac.shape,
+    )
+
+
+def _strength_graph(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
+    """Symmetric strength of connection: keep a_ij with
+    |a_ij| >= theta * sqrt(|a_ii a_jj|)."""
+    d = np.abs(A.diagonal())
+    d_safe = np.where(d > 0, d, 1.0)
+    coo = A.tocoo()
+    scale = np.sqrt(d_safe[coo.row] * d_safe[coo.col])
+    keep = (np.abs(coo.data) >= theta * scale) & (coo.row != coo.col)
+    S = sp.csr_matrix(
+        (np.ones(keep.sum()), (coo.row[keep], coo.col[keep])), shape=A.shape)
+    S = S.maximum(S.T)  # symmetrize
+    return S
+
+
+def _aggregate(S: sp.csr_matrix, target_size: int = 4) -> np.ndarray:
+    """Greedy aggregation with target aggregate size (SIZE_4-like selector).
+
+    Deterministic: nodes visited in index order. Returns agg id per node
+    (-1 only transiently; every node ends up assigned)."""
+    n = S.shape[0]
+    agg = np.full(n, -1, dtype=np.int64)
+    indptr, indices = S.indptr, S.indices
+    next_agg = 0
+    # Phase 1: seed aggregates from fully-unaggregated neighborhoods.
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        free = nbrs[agg[nbrs] == -1]
+        agg[i] = next_agg
+        take = free[: target_size - 1]
+        agg[take] = next_agg
+        next_agg += 1
+    # Phase 2: merge singleton aggregates into a neighbor aggregate where
+    # possible (reduces coarse-grid size, mirrors aggregation cleanup).
+    sizes = np.bincount(agg, minlength=next_agg)
+    for i in range(n):
+        if sizes[agg[i]] == 1:
+            nbrs = indices[indptr[i]:indptr[i + 1]]
+            if len(nbrs) > 0:
+                tgt = agg[nbrs[0]]
+                if sizes[tgt] < 2 * target_size and tgt != agg[i]:
+                    sizes[agg[i]] -= 1
+                    agg[i] = tgt
+                    sizes[tgt] += 1
+    # Compact ids
+    uniq, agg = np.unique(agg, return_inverse=True)
+    return agg
+
+
+class AMGLevel(NamedTuple):
+    """One multigrid level (a pytree: all fields are containers/arrays)."""
+
+    A: Any            # CSR or DIA system matrix on this level
+    P: Optional[CSR]  # prolongator (None on the coarsest level)
+    R: Optional[CSR]  # restriction = Pᵀ
+    dinv_l1: Optional[jax.Array]  # 1 / L1-Jacobi diagonal
+
+
+class AMGHierarchy(NamedTuple):
+    levels: Tuple[AMGLevel, ...]
+    # Dense pseudo-inverse of the coarsest operator, precomputed on host.
+    # A matmul is the only TPU-universal dense solve (f64 LU is not
+    # implemented by the TPU compiler), and pinv also handles the singular
+    # coarse matrices arising from pure-Neumann problems.
+    coarse_inv: jax.Array
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels) + 1
+
+
+def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
+              max_levels: int = 50, coarse_size: int = 16) -> AMGHierarchy:
+    """Build the AMG hierarchy on host. ``A`` must be concrete (not traced)."""
+    A_sp = _to_scipy_csr(A).astype(np.float64)
+    levels: List[AMGLevel] = []
+    A_dev_top = A  # keep the caller's container for the finest level
+
+    current = A_sp
+    current_dev = A_dev_top
+    while (current.shape[0] > coarse_size
+           and len(levels) < max_levels - 1):
+        S = _strength_graph(current, theta)
+        agg = _aggregate(S, target_size)
+        nc = int(agg.max()) + 1
+        if nc >= current.shape[0]:  # no coarsening progress — stop
+            break
+        n = current.shape[0]
+        P_sp = sp.csr_matrix(
+            (np.ones(n), (np.arange(n), agg)), shape=(n, nc))
+        R_sp = P_sp.T.tocsr()
+        A_next = (R_sp @ current @ P_sp).tocsr()
+        A_next.sum_duplicates()
+
+        dtype = (A.dtype if hasattr(A, "dtype") else jnp.float64)
+        dl1 = np.abs(current).sum(axis=1).A1 if hasattr(
+            np.abs(current).sum(axis=1), "A1") else np.asarray(
+            np.abs(current).sum(axis=1)).ravel()
+        dinv = jnp.asarray(
+            np.where(dl1 > 0, 1.0 / np.where(dl1 > 0, dl1, 1.0), 1.0),
+            dtype=dtype)
+        P_dev = csr_from_arrays(
+            P_sp.data.astype(np.asarray(dinv).dtype), P_sp.indices,
+            P_sp.indptr, P_sp.shape)
+        R_dev = csr_from_arrays(
+            R_sp.data.astype(np.asarray(dinv).dtype), R_sp.indices,
+            R_sp.indptr, R_sp.shape)
+        levels.append(AMGLevel(A=current_dev, P=P_dev, R=R_dev,
+                               dinv_l1=dinv))
+        current = A_next
+        current_dev = csr_from_arrays(
+            A_next.data.astype(np.asarray(dinv).dtype), A_next.indices,
+            A_next.indptr, A_next.shape)
+
+    dtype = (A.dtype if hasattr(A, "dtype") else jnp.float64)
+    coarse_inv = jnp.asarray(
+        np.linalg.pinv(current.toarray(), rcond=1e-12), dtype=dtype)
+    return AMGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv)
+
+
+# --------------------------------------------------------------------------
+# Device-side solve phase
+# --------------------------------------------------------------------------
+
+
+def _smooth(A, dinv, x, b, sweeps: int, omega: float):
+    for _ in range(sweeps):
+        r = b - spmv(A, x)
+        x = x + omega * dinv * r
+    return x
+
+
+def v_cycle(hier: AMGHierarchy, b: jax.Array, *, pre_sweeps: int = 0,
+            post_sweeps: int = 3, omega: float = 1.0) -> jax.Array:
+    """One V-cycle applied to rhs b (x0 = 0). Jit-safe; static level count.
+
+    Default sweep counts mirror the reference's AMGX config
+    (0 pre / 3 post L1-Jacobi sweeps, torch_amgx.py:50-73).
+    """
+
+    def descend(level_idx: int, rhs: jax.Array) -> jax.Array:
+        if level_idx == len(hier.levels):
+            return jnp.dot(
+                hier.coarse_inv, rhs.astype(hier.coarse_inv.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(rhs.dtype)
+        lvl = hier.levels[level_idx]
+        x = jnp.zeros_like(rhs)
+        x = _smooth(lvl.A, lvl.dinv_l1, x, rhs, pre_sweeps, omega)
+        r = rhs - spmv(lvl.A, x) if pre_sweeps > 0 else rhs
+        rc = spmv(lvl.R, r)
+        xc = descend(level_idx + 1, rc)
+        x = x + spmv(lvl.P, xc)
+        x = _smooth(lvl.A, lvl.dinv_l1, x, rhs, post_sweeps, omega)
+        return x
+
+    return descend(0, b)
+
+
+def _make_vcycle_apply(pre: int, post: int, omega: float):
+    # Sweep counts are Python loop bounds and must stay static; bind them in
+    # a plain closure and keep only the hierarchy as a pytree Partial arg.
+    def apply(hier: AMGHierarchy, v):
+        return v_cycle(hier, v, pre_sweeps=pre, post_sweeps=post, omega=omega)
+
+    return apply
+
+
+def amg_preconditioner(A, *, theta: float = 0.08, target_size: int = 4,
+                       max_levels: int = 50, coarse_size: int = 16,
+                       pre_sweeps: int = 0, post_sweeps: int = 3,
+                       omega: float = 0.9) -> Partial:
+    """Build M ≈ A⁻¹ as one AMG V-cycle (usable as ``M=`` in any solver).
+
+    Setup runs on host; the returned Partial is a pytree whose leaves are
+    the device-resident hierarchy, so it rides through jit and custom_vjp.
+    """
+    hier = amg_setup(A, theta=theta, target_size=target_size,
+                     max_levels=max_levels, coarse_size=coarse_size)
+    return Partial(_make_vcycle_apply(pre_sweeps, post_sweeps, omega), hier)
+
+
+def amg_solve(A, b, x0=None, *, tol: float = 1e-6, atol: float = 0.0,
+              maxiter: int = 100, theta: float = 0.08,
+              target_size: int = 4, max_levels: int = 50,
+              coarse_size: int = 16, pre_sweeps: int = 0,
+              post_sweeps: int = 3, omega: float = 0.9,
+              precond: Optional[Partial] = None):
+    """AMG-preconditioned CG solve (AMGX 'AMG with CG acceleration'
+    analogue). Returns (x, info, iterations, residual_norm)."""
+    from tpu_sparse.autodiff import cg_diff
+
+    M = precond if precond is not None else amg_preconditioner(
+        A, theta=theta, target_size=target_size, max_levels=max_levels,
+        coarse_size=coarse_size, pre_sweeps=pre_sweeps,
+        post_sweeps=post_sweeps, omega=omega)
+    return cg_diff(A, b, x0, tol=tol, atol=atol, maxiter=maxiter, M=M)

@@ -1,0 +1,617 @@
+"""Krylov solvers: CG, BiCGStab, GMRES(restart) — TPU-native.
+
+Capability parity with the reference's Module A
+(module_a/torch_sparse_linalg.py):
+
+* `cg`        — :1019-1088 (`_cg_solve` :806-856)
+* `bicgstab`  — :1091-1158 (`_bicgstab_solve` :859-964, breakdown codes
+                −10/−11 at :902,:913,:934)
+* `gmres`     — :641-784 (`_gmres_incremental` :557-638, `_gmres_batched`
+                :431-493, Arnoldi :331-388, ICGS :284-328, Givens :508-518)
+
+Re-designed for XLA: every solver is a single `lax.while_loop` body with
+static shapes, so the whole iteration fuses into one compiled program on TPU
+(one SpMV + a few VPU axpys + psum-able dots per iteration). Operands are
+arbitrary pytrees; `A` and `M` may be sparse containers, dense matrices, or
+matrix-free callables.
+
+Tolerance contract (same as reference / non-legacy scipy):
+``converged iff norm(residual) <= max(tol * norm(b), atol)``.
+
+`info` codes: 0 converged, -1 not converged / NaN, -10 rho-breakdown,
+-11 alpha/omega-breakdown (BiCGStab only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpu_sparse.kernels import as_matvec
+from tpu_sparse.utils.tree import (
+    tree_add,
+    tree_axpy,
+    tree_leaves,
+    tree_map,
+    tree_norm,
+    tree_scalar_mul,
+    tree_size,
+    tree_sub,
+    tree_vdot,
+    tree_vdot_real,
+    tree_where,
+    tree_zeros_like,
+)
+
+Operator = Union[Any, Callable]
+
+
+def _identity(x):
+    return x
+
+
+def _float_dtype(tree) -> jnp.dtype:
+    leaf = tree_leaves(tree)[0]
+    return leaf.dtype
+
+
+def _real_dtype(dtype) -> jnp.dtype:
+    return jnp.finfo(dtype).dtype  # real counterpart (float64 for complex128)
+
+
+def _default_maxiter(b, maxiter: Optional[int]) -> int:
+    if maxiter is not None:
+        return int(maxiter)
+    return 10 * tree_size(b)  # same default as reference/scipy (:982-984)
+
+
+def _check_tree_compat(x0, b):
+    lx, lb = tree_leaves(x0), tree_leaves(b)
+    if len(lx) != len(lb):
+        raise ValueError("x0 and b must have matching tree structure")
+    for a, c in zip(lx, lb):
+        if a.shape != c.shape:
+            raise ValueError(
+                f"arrays in x0 and b must have matching shapes: {a.shape} vs {c.shape}"
+            )
+
+
+# ---------------------------------------------------------------------------
+# CG
+# ---------------------------------------------------------------------------
+
+
+class _CGState(NamedTuple):
+    x: Any
+    r: Any
+    gamma: jax.Array
+    p: Any
+    k: jax.Array
+
+
+def _cg_loop(A: Callable, M: Callable, b, x0, atol2, maxiter: int,
+             precond_is_identity: bool):
+    r0 = tree_sub(b, A(x0))
+    p0 = z0 = M(r0)
+    dtype = _float_dtype(p0)
+    gamma0 = tree_vdot_real(r0, z0).astype(_real_dtype(dtype))
+
+    def rs_of(state: _CGState) -> jax.Array:
+        if precond_is_identity:
+            return state.gamma
+        return tree_vdot_real(state.r, state.r)
+
+    def cond(state: _CGState):
+        return (state.k < maxiter) & (rs_of(state) > atol2)
+
+    def body(state: _CGState):
+        x, r, gamma, p, k = state
+        Ap = A(p)
+        alpha = (gamma / tree_vdot_real(p, Ap)).astype(dtype)
+        x = tree_axpy(alpha, p, x)
+        r = tree_axpy(-alpha, Ap, r)
+        z = M(r)
+        gamma_new = tree_vdot_real(r, z).astype(_real_dtype(dtype))
+        beta = (gamma_new / gamma).astype(dtype)
+        p = tree_axpy(beta, p, z)
+        return _CGState(x, r, gamma_new, p, k + 1)
+
+    init = _CGState(x0, r0, gamma0, p0, jnp.array(0, jnp.int32))
+    final = lax.while_loop(cond, body, init)
+    return final.x, final.k
+
+
+def cg(A: Operator, b: Any, x0: Optional[Any] = None, *, tol: float = 1e-5,
+       atol: float = 0.0, maxiter: Optional[int] = None,
+       M: Optional[Operator] = None) -> Tuple[Any, jax.Array]:
+    """Conjugate-Gradient solve of Ax = b (A hermitian positive definite).
+
+    Returns ``(x, info)`` with info 0 on convergence, -1 otherwise.
+    Matches reference `cg` (torch_sparse_linalg.py:1019-1088).
+    """
+    x, info, _, _ = cg_full(A, b, x0, tol=tol, atol=atol, maxiter=maxiter, M=M)
+    return x, info
+
+
+def cg_full(A: Operator, b: Any, x0: Optional[Any] = None, *, tol: float = 1e-5,
+            atol: float = 0.0, maxiter: Optional[int] = None,
+            M: Optional[Operator] = None):
+    """CG returning (x, info, iterations, final_residual_norm)."""
+    if x0 is None:
+        x0 = tree_zeros_like(b)
+    _check_tree_compat(x0, b)
+    maxiter = _default_maxiter(b, maxiter)
+    A_fn = as_matvec(A)
+    precond_identity = M is None
+    M_fn = _identity if M is None else as_matvec(M)
+
+    bs = tree_vdot_real(b, b)
+    atol2 = jnp.maximum(jnp.square(tol) * bs, jnp.square(atol))
+
+    x, k = _cg_loop(A_fn, M_fn, b, x0, atol2, maxiter, precond_identity)
+
+    res_norm = tree_norm(M_fn(tree_sub(b, A_fn(x))))
+    b_norm = jnp.sqrt(bs)
+    thresh = jnp.maximum(tol * b_norm, atol)
+    failed = (~jnp.isfinite(tree_norm(x))) | (~jnp.isfinite(res_norm)) \
+        | (res_norm > thresh)
+    info = jnp.where(failed, -1, 0).astype(jnp.int32)
+    return x, info, k, res_norm
+
+
+# ---------------------------------------------------------------------------
+# BiCGStab
+# ---------------------------------------------------------------------------
+
+
+class _BiCGState(NamedTuple):
+    x: Any
+    r: Any
+    alpha: jax.Array
+    omega: jax.Array
+    rho: jax.Array
+    p: Any
+    q: Any
+    k: jax.Array
+
+
+def _bicgstab_loop(A: Callable, M: Callable, b, x0, atol2, maxiter: int):
+    r0 = tree_sub(b, A(x0))
+    rhat = r0
+    dtype = _float_dtype(r0)
+    one = jnp.ones((), dtype)
+    eps = jnp.finfo(_real_dtype(dtype)).eps
+
+    def cond(state: _BiCGState):
+        rs = tree_vdot_real(state.r, state.r)
+        return (rs > atol2) & (state.k < maxiter) & (state.k >= 0)
+
+    def body(state: _BiCGState):
+        x, r, alpha, omega, rho, p, q, k = state
+        rho_new = tree_vdot(rhat, r)
+        beta = rho_new / rho * alpha / omega
+        p_new = tree_axpy(beta, tree_axpy(-omega, q, p), r)
+        phat = M(p_new)
+        q_new = A(phat)
+        alpha_new = rho_new / tree_vdot(rhat, q_new)
+        s = tree_axpy(-alpha_new, q_new, r)
+        exit_early = tree_vdot_real(s, s) < atol2
+        shat = M(s)
+        t = A(shat)
+        tt = tree_vdot(t, t)
+        omega_new = jnp.where(jnp.abs(tt) > 0, tree_vdot(t, s) / tt,
+                              jnp.zeros((), dtype))
+        x_new = tree_where(
+            exit_early,
+            tree_axpy(alpha_new, phat, x),
+            tree_axpy(omega_new, shat, tree_axpy(alpha_new, phat, x)),
+        )
+        r_new = tree_where(exit_early, s, tree_axpy(-omega_new, t, s))
+        # Breakdown codes match the reference (:902 rho, :913/:934 alpha/omega).
+        k_next = jnp.where(
+            (jnp.abs(rho_new) < eps * jnp.abs(rho)),
+            jnp.array(-10, jnp.int32),
+            jnp.where(
+                (jnp.abs(alpha_new) < eps)
+                | ((jnp.abs(omega_new) < eps) & ~exit_early),
+                jnp.array(-11, jnp.int32),
+                k + 1,
+            ),
+        )
+        return _BiCGState(x_new, r_new, alpha_new, omega_new, rho_new,
+                          p_new, q_new, k_next)
+
+    init = _BiCGState(x0, r0, one, one, one, r0, r0, jnp.array(0, jnp.int32))
+    final = lax.while_loop(cond, body, init)
+    return final.x, final.k
+
+
+def bicgstab(A: Operator, b: Any, x0: Optional[Any] = None, *, tol: float = 1e-5,
+             atol: float = 0.0, maxiter: Optional[int] = None,
+             M: Optional[Operator] = None) -> Tuple[Any, jax.Array]:
+    """BiCGStab solve of Ax = b (A need not be symmetric).
+
+    Matches reference `bicgstab` (torch_sparse_linalg.py:1091-1158).
+    info: 0 converged, -1 no convergence, -10/-11 breakdown.
+    """
+    x, info, _, _ = bicgstab_full(A, b, x0, tol=tol, atol=atol,
+                                  maxiter=maxiter, M=M)
+    return x, info
+
+
+def bicgstab_full(A: Operator, b: Any, x0: Optional[Any] = None, *,
+                  tol: float = 1e-5, atol: float = 0.0,
+                  maxiter: Optional[int] = None, M: Optional[Operator] = None):
+    if x0 is None:
+        x0 = tree_zeros_like(b)
+    _check_tree_compat(x0, b)
+    maxiter = _default_maxiter(b, maxiter)
+    A_fn = as_matvec(A)
+    M_fn = _identity if M is None else as_matvec(M)
+
+    bs = tree_vdot_real(b, b)
+    atol2 = jnp.maximum(jnp.square(tol) * bs, jnp.square(atol))
+
+    x, k = _bicgstab_loop(A_fn, M_fn, b, x0, atol2, maxiter)
+
+    res_norm = tree_norm(M_fn(tree_sub(b, A_fn(x))))
+    b_norm = jnp.sqrt(bs)
+    thresh = jnp.maximum(tol * b_norm, atol)
+    failed = (~jnp.isfinite(tree_norm(x))) | (~jnp.isfinite(res_norm)) \
+        | (res_norm > thresh)
+    info = jnp.where(k < 0, k, jnp.where(failed, -1, 0)).astype(jnp.int32)
+    return x, info, k, res_norm
+
+
+# ---------------------------------------------------------------------------
+# GMRES
+# ---------------------------------------------------------------------------
+
+
+def _safe_normalize(x, thresh=None):
+    """Normalize a pytree vector; returns zeros when the norm underflows.
+
+    Mirrors reference `_safe_normalize` (torch_sparse_linalg.py:217-273).
+    """
+    norm = tree_norm(x)
+    dtype = _float_dtype(x)
+    if thresh is None:
+        thresh = jnp.finfo(_real_dtype(dtype)).eps
+    thresh = jnp.asarray(thresh, norm.dtype)
+    use = norm > thresh
+    denom = jnp.where(use, norm, 1.0)
+    normalized = tree_map(
+        lambda leaf: jnp.where(use, leaf / denom.astype(leaf.dtype), 0.0), x
+    )
+    norm = jnp.where(use, norm, 0.0)
+    return normalized, norm
+
+
+def _project_on_columns(V, x):
+    """h[j] = <V_j, x> for every stacked basis column j.
+
+    V leaves have a trailing basis axis of size (restart+1).
+    (Reference `_project_on_columns`, torch_sparse_linalg.py:276-281.)
+    """
+    def leaf_proj(Vl, xl):
+        return jnp.einsum(
+            "...k,...->k", Vl.conj(), xl,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    leaves = [leaf_proj(Vl, xl) for Vl, xl in zip(tree_leaves(V), tree_leaves(x))]
+    return sum(leaves)
+
+
+def _sub_from_columns(V, h, x):
+    """x - V @ h, leafwise over the trailing basis axis."""
+    def leaf_sub(xl, Vl):
+        return xl - jnp.einsum(
+            "...k,k->...", Vl, h.astype(Vl.dtype),
+            precision=lax.Precision.HIGHEST,
+        )
+
+    return tree_map(leaf_sub, x, V)
+
+
+def _iterative_classical_gram_schmidt(V, x, max_passes: int = 2):
+    """CGS2: two classical Gram-Schmidt passes (numerically equivalent to the
+    reference's conditional re-orthogonalization, :284-328, which performs up
+    to two passes; two unconditional passes is the standard stable variant
+    and keeps the TPU program static)."""
+    h = _project_on_columns(V, x)
+    q = _sub_from_columns(V, h, x)
+    for _ in range(max_passes - 1):
+        dh = _project_on_columns(V, q)
+        q = _sub_from_columns(V, dh, q)
+        h = h + dh
+    return q, h
+
+
+def _kth_arnoldi_iteration(k, A, M, V, H):
+    """One Arnoldi step (reference :331-388). V: pytree with trailing axis
+    restart+1; H: (restart, restart+1) row k holds projections."""
+    dtype = H.dtype
+    eps = jnp.finfo(_real_dtype(dtype)).eps
+
+    v_k = tree_map(lambda Vl: Vl[..., k], V)
+    w = M(A(v_k))
+    tol_k = eps * tree_norm(w)  # breakdown threshold from pre-orthog norm
+    w, h = _iterative_classical_gram_schmidt(V, w)
+    unit_w, w_norm = _safe_normalize(w, thresh=tol_k)
+    V = tree_map(
+        lambda Vl, ul: Vl.at[..., k + 1].set(ul.astype(Vl.dtype)), V, unit_w
+    )
+    h = h.at[k + 1].set(w_norm.astype(dtype))
+    H = H.at[k, :].set(h)
+    breakdown = w_norm == 0.0
+    return V, H, breakdown
+
+
+def _gauss_jordan_solve(G, c):
+    """Solve G y = c by Gauss-Jordan elimination without pivoting.
+
+    Used for the (restart × restart) SPD normal-equation system. Built from
+    elementary ops only — unlike LU/Cholesky custom-calls, this lowers on
+    TPU for every dtype including f64."""
+    m = G.shape[0]
+    aug = jnp.concatenate([G, c[:, None]], axis=1)
+
+    def elim(i, aug):
+        pivot = aug[i, i]
+        safe = jnp.where(pivot != 0, pivot, jnp.ones((), aug.dtype))
+        row = aug[i] / safe
+        factors = aug[:, i].at[i].set(0.0)
+        aug = aug - factors[:, None] * row[None, :]
+        return aug.at[i].set(row)
+
+    aug = lax.fori_loop(0, m, elim, aug)
+    return aug[:, m]
+
+
+def _upper_triangular_solve(R, c):
+    """Back-substitution for upper-triangular R (TPU-safe for all dtypes)."""
+    m = R.shape[0]
+
+    def body(k, y):
+        i = m - 1 - k
+        # y[j<=i] is still zero and R[i, j<i] == 0, so the dot spans j > i.
+        num = c[i] - jnp.dot(R[i], y, precision=lax.Precision.HIGHEST)
+        piv = R[i, i]
+        safe = jnp.where(piv != 0, piv, jnp.ones((), R.dtype))
+        return y.at[i].set(num / safe)
+
+    return lax.fori_loop(0, m, body, jnp.zeros_like(c))
+
+
+def _lstsq_normal(H_kxk1, beta, restart):
+    """Solve min_y || beta*e1 - H^T y || via normal equations
+    (reference `_lstsq`, :391-428). H_kxk1 is (restart, restart+1) holding
+    H^T; the system matrix is Hm = H_kxk1^T (restart+1, restart)."""
+    Hm = H_kxk1.T  # (restart+1, restart)
+    rhs = jnp.zeros((restart + 1,), Hm.dtype).at[0].set(beta)
+    G = Hm.conj().T @ Hm  # (restart, restart)
+    # Tiny jitter guards exact-breakdown (all-zero) columns.
+    eps = jnp.finfo(_real_dtype(Hm.dtype)).eps
+    G = G + jnp.eye(restart, dtype=G.dtype) * (eps * jnp.trace(G).real)
+    c = Hm.conj().T @ rhs
+    return _gauss_jordan_solve(G, c)
+
+
+class _GmresBatchedCarry(NamedTuple):
+    V: Any
+    H: jax.Array
+    breakdown: jax.Array
+    k: jax.Array
+
+
+def _gmres_batched(A, b, x0, unit_residual, residual_norm, ptol, restart, M):
+    """One restart cycle, batched solve method (reference :431-493):
+    run the full Arnoldi sweep, then solve one least-squares problem."""
+    dtype = _float_dtype(b)
+    V0 = tree_map(
+        lambda u: jnp.pad(u[..., None], [(0, 0)] * u.ndim + [(0, restart)]),
+        unit_residual,
+    )
+    H0 = jnp.zeros((restart, restart + 1), dtype)
+
+    def cond(c: _GmresBatchedCarry):
+        return (c.k < restart) & jnp.logical_not(c.breakdown)
+
+    def body(c: _GmresBatchedCarry):
+        V, H, brk = c.V, c.H, c.breakdown
+        V, H, brk = _kth_arnoldi_iteration(c.k, A, M, V, H)
+        return _GmresBatchedCarry(V, H, brk, c.k + 1)
+
+    carry = lax.while_loop(
+        cond, body,
+        _GmresBatchedCarry(V0, H0, jnp.array(False), jnp.array(0, jnp.int32)),
+    )
+    y = _lstsq_normal(carry.H, residual_norm.astype(dtype), restart)
+    dx = tree_map(
+        lambda Vl: jnp.einsum(
+            "...k,k->...", Vl[..., :restart], y.astype(Vl.dtype),
+            precision=lax.Precision.HIGHEST,
+        ),
+        carry.V,
+    )
+    x = tree_add(x0, dx)
+    residual = M(tree_sub(b, A(x)))
+    unit_residual, residual_norm = _safe_normalize(residual)
+    return x, unit_residual, residual_norm
+
+
+class _GmresIncCarry(NamedTuple):
+    V: Any
+    R: jax.Array          # (restart, restart) upper-triangular factor
+    beta_vec: jax.Array   # (restart + 1,)
+    givens: jax.Array     # (restart, 2) [cs, sn]
+    err: jax.Array
+    breakdown: jax.Array
+    k: jax.Array
+
+
+def _givens_rotation(a, b):
+    """cs, sn zeroing b (reference `_givens_rotation`, :508-518)."""
+    denom = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(b) ** 2)
+    safe = denom > 0
+    denom_ = jnp.where(safe, denom, 1.0)
+    cs = jnp.where(safe, a / denom_, jnp.ones_like(a))
+    sn = jnp.where(safe, -b / denom_, jnp.zeros_like(b))
+    return cs, sn
+
+
+def _apply_givens_rotations(H_col, givens, k, restart):
+    """Apply rotations 0..k-1 to the new column, then compute and apply the
+    k-th rotation (reference :521-554/:599-623)."""
+
+    def body(i, col):
+        cs, sn = givens[i, 0], givens[i, 1]
+        hi = cs.conj() * col[i] - sn.conj() * col[i + 1]
+        hip1 = sn * col[i] + cs * col[i + 1]
+        new_col = col.at[i].set(hi).at[i + 1].set(hip1)
+        return jnp.where(i < k, new_col, col)
+
+    # static unrolled-bounds fori_loop; masked beyond k
+    col = lax.fori_loop(0, restart, body, H_col)
+    cs_k, sn_k = _givens_rotation(col[k], col[k + 1])
+    rk = cs_k.conj() * col[k] - sn_k.conj() * col[k + 1]
+    col = col.at[k].set(rk).at[k + 1].set(0.0)
+    return col, cs_k, sn_k
+
+
+def _gmres_incremental(A, b, x0, unit_residual, residual_norm, ptol, restart, M):
+    """One restart cycle, incremental (Givens QR) method (reference :557-638).
+    Gives a free running residual estimate and in-cycle early exit."""
+    dtype = _float_dtype(b)
+    V0 = tree_map(
+        lambda u: jnp.pad(u[..., None], [(0, 0)] * u.ndim + [(0, restart)]),
+        unit_residual,
+    )
+    R0 = jnp.zeros((restart, restart), dtype)
+    beta0 = jnp.zeros((restart + 1,), dtype).at[0].set(
+        residual_norm.astype(dtype))
+    givens0 = jnp.zeros((restart, 2), dtype)
+    err0 = jnp.abs(beta0[0])
+
+    def cond(c: _GmresIncCarry):
+        return (c.k < restart) & (c.err > ptol) & jnp.logical_not(c.breakdown)
+
+    def body(c: _GmresIncCarry):
+        H_tmp = jnp.zeros((restart, restart + 1), dtype)
+        V, H_tmp, brk = _kth_arnoldi_iteration(c.k, A, M, c.V, H_tmp)
+        H_col = H_tmp[c.k, :]  # (restart+1,)
+        col, cs_k, sn_k = _apply_givens_rotations(H_col, c.givens, c.k, restart)
+        R = c.R.at[:, c.k].set(col[:restart])
+        givens = c.givens.at[c.k, 0].set(cs_k).at[c.k, 1].set(sn_k)
+        bk = cs_k.conj() * c.beta_vec[c.k] - sn_k.conj() * c.beta_vec[c.k + 1]
+        bk1 = sn_k * c.beta_vec[c.k] + cs_k * c.beta_vec[c.k + 1]
+        beta_vec = c.beta_vec.at[c.k].set(bk).at[c.k + 1].set(bk1)
+        err = jnp.abs(bk1)
+        return _GmresIncCarry(V, R, beta_vec, givens, err, brk, c.k + 1)
+
+    carry = lax.while_loop(
+        cond, body,
+        _GmresIncCarry(V0, R0, beta0, givens0, err0, jnp.array(False),
+                       jnp.array(0, jnp.int32)),
+    )
+    k = carry.k
+    # Pad R's unused tail with identity so one static-shape triangular solve
+    # yields y with zeros past k (avoids a dynamic-size solve under jit).
+    idx = jnp.arange(restart)
+    diag_mask = idx >= k
+    R = carry.R + jnp.diag(jnp.where(diag_mask, 1.0, 0.0).astype(dtype))
+    rhs = jnp.where(idx < k, carry.beta_vec[:restart], 0.0).astype(dtype)
+    y = _upper_triangular_solve(R, rhs)
+    dx = tree_map(
+        lambda Vl: jnp.einsum(
+            "...k,k->...", Vl[..., :restart], y.astype(Vl.dtype),
+            precision=lax.Precision.HIGHEST,
+        ),
+        carry.V,
+    )
+    x = tree_add(x0, dx)
+    residual = M(tree_sub(b, A(x)))
+    unit_residual, residual_norm = _safe_normalize(residual)
+    return x, unit_residual, residual_norm
+
+
+class _GmresCarry(NamedTuple):
+    x: Any
+    unit_residual: Any
+    residual_norm: jax.Array
+    k: jax.Array
+
+
+def _gmres_solve(A, b, x0, atol_, ptol, restart, maxiter, M, cycle_fn):
+    """Restart loop (reference `_gmres_solve_with_method`, :787-803)."""
+    residual = M(tree_sub(b, A(x0)))
+    unit_residual, residual_norm = _safe_normalize(residual)
+
+    def cond(c: _GmresCarry):
+        return (c.k < maxiter) & (c.residual_norm > atol_)
+
+    def body(c: _GmresCarry):
+        x, ur, rn = cycle_fn(A, b, c.x, c.unit_residual, c.residual_norm,
+                             ptol, restart, M)
+        return _GmresCarry(x, ur, rn, c.k + 1)
+
+    init = _GmresCarry(x0, unit_residual, residual_norm,
+                       jnp.array(0, jnp.int32))
+    final = lax.while_loop(cond, body, init)
+    return final.x, final.k
+
+
+def gmres(A: Operator, b: Any, x0: Optional[Any] = None, *, tol: float = 1e-5,
+          atol: float = 0.0, restart: int = 20, maxiter: Optional[int] = None,
+          M: Optional[Operator] = None,
+          solve_method: str = "batched") -> Tuple[Any, jax.Array]:
+    """GMRES with restarts (reference `gmres`, torch_sparse_linalg.py:641-784).
+
+    solve_method: 'batched' (one least-squares per cycle, TPU-friendly
+    default) or 'incremental' (Givens QR with in-cycle early exit).
+    """
+    x, info, _, _ = gmres_full(A, b, x0, tol=tol, atol=atol, restart=restart,
+                               maxiter=maxiter, M=M, solve_method=solve_method)
+    return x, info
+
+
+def gmres_full(A: Operator, b: Any, x0: Optional[Any] = None, *,
+               tol: float = 1e-5, atol: float = 0.0, restart: int = 20,
+               maxiter: Optional[int] = None, M: Optional[Operator] = None,
+               solve_method: str = "batched"):
+    if x0 is None:
+        x0 = tree_zeros_like(b)
+    _check_tree_compat(x0, b)
+    size = tree_size(b)
+    restart = min(restart, size)
+    if maxiter is None:
+        maxiter = 10 * size  # same default as reference (:719-721)
+    A_fn = as_matvec(A)
+    M_fn = _identity if M is None else as_matvec(M)
+
+    if solve_method == "batched":
+        cycle_fn = _gmres_batched
+    elif solve_method == "incremental":
+        cycle_fn = _gmres_incremental
+    else:
+        raise ValueError(f"unsupported solve_method: {solve_method}")
+
+    b_norm = tree_norm(b)
+    atol_ = jnp.maximum(tol * b_norm, atol)
+    Mb = M_fn(b)
+    Mb_norm = tree_norm(Mb)
+    ptol = Mb_norm * jnp.minimum(1.0, atol_ / jnp.where(b_norm > 0, b_norm, 1.0))
+
+    x, k = _gmres_solve(A_fn, b, x0, atol_, ptol, restart, maxiter, M_fn,
+                        cycle_fn)
+
+    res_norm = tree_norm(M_fn(tree_sub(b, A_fn(x))))
+    failed = (~jnp.isfinite(tree_norm(x))) | (~jnp.isfinite(res_norm)) \
+        | (res_norm > atol_)
+    info = jnp.where(failed, -1, 0).astype(jnp.int32)
+    return x, info, k, res_norm

@@ -1,0 +1,19 @@
+from tpu_sparse.sparse.containers import BSR, COO, CSR, DIA, is_sparse
+from tpu_sparse.sparse.convert import (
+    coo_to_csr,
+    csr_from_arrays,
+    csr_to_bsr,
+    csr_to_dia,
+    dense_to_coo,
+    dense_to_csr,
+    dia_from_offsets,
+    to_csr,
+)
+from tpu_sparse.sparse import generators
+
+__all__ = [
+    "BSR", "COO", "CSR", "DIA", "is_sparse",
+    "coo_to_csr", "csr_from_arrays", "csr_to_bsr", "csr_to_dia",
+    "dense_to_coo", "dense_to_csr", "dia_from_offsets", "to_csr",
+    "generators",
+]

@@ -1,0 +1,364 @@
+"""Sparse matrix containers as registered JAX pytrees.
+
+Capability parity target: the reference's torch.sparse COO/CSR tensors and
+format converters (utils/matrix_utils.py:12-140). Re-designed TPU-first:
+
+* ``COO`` / ``CSR`` — general formats; SpMV lowers to an XLA segment-sum
+  (scatter-add), which is the portable general path on TPU.
+* ``DIA`` — diagonal (banded/stencil) storage with **static** offsets. All the
+  reference's benchmark matrices (tridiagonal, 5-point 2-D Poisson, 27-point
+  3-D Poisson) are stencil matrices; DIA SpMV is pure shifted vector math with
+  zero gathers, i.e. the HBM speed-of-light format on TPU.
+* ``BSR`` — block sparse rows with dense ``(bs, bs)`` blocks that feed the MXU.
+
+All containers are pytrees: array attributes are leaves (so they can be
+jitted, sharded, and differentiated), ``shape``/offsets/block-size are static
+aux data. Gradients flow through ``data`` leaves only; index arrays are
+integer leaves (zero-tangent under AD).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["COO", "CSR", "DIA", "BSR", "is_sparse"]
+
+
+def _matvec(A, x):
+    from tpu_sparse.kernels import spmv  # lazy: kernels import containers
+
+    return spmv(A, x)
+
+
+@jax.tree_util.register_pytree_node_class
+class COO:
+    """Coordinate-format sparse matrix.
+
+    Attributes:
+      data: (nnz,) values.
+      row, col: (nnz,) int32 indices.
+      shape: static (n_rows, n_cols).
+
+    Duplicate (row, col) entries are allowed and sum on materialization, like
+    torch.sparse COO before coalescing.
+    """
+
+    def __init__(self, data, row, col, shape):
+        self.data = data
+        self.row = row
+        self.col = col
+        self.shape = tuple(int(s) for s in shape)
+
+    def tree_flatten(self):
+        return (self.data, self.row, self.col), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, row, col = children
+        return cls(data, row, col, aux[0])
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def T(self) -> "COO":
+        return COO(self.data, self.col, self.row, (self.shape[1], self.shape[0]))
+
+    def conj(self) -> "COO":
+        return COO(jnp.conj(self.data), self.row, self.col, self.shape)
+
+    def with_data(self, data) -> "COO":
+        return COO(data, self.row, self.col, self.shape)
+
+    def todense(self) -> jax.Array:
+        out = jnp.zeros(self.shape, dtype=self.dtype)
+        return out.at[self.row, self.col].add(self.data)
+
+    def tocsr(self) -> "CSR":
+        """Jit-safe COO→CSR via a device sort (static shapes)."""
+        order = jnp.argsort(
+            self.row.astype(jnp.int64) * self.shape[1] + self.col)
+        row = self.row[order]
+        indptr = jnp.searchsorted(
+            row, jnp.arange(self.shape[0] + 1, dtype=row.dtype)
+        ).astype(jnp.int32)
+        return CSR(self.data[order], self.col[order], indptr, self.shape)
+
+    def __matmul__(self, x):
+        return _matvec(self, x)
+
+    def __repr__(self):
+        return f"COO(shape={self.shape}, nnz={self.nnz}, dtype={self.dtype})"
+
+
+@jax.tree_util.register_pytree_node_class
+class CSR:
+    """Compressed-sparse-row matrix.
+
+    Attributes:
+      data: (nnz,) values, row-major order.
+      indices: (nnz,) int32 column indices.
+      indptr: (n_rows + 1,) int32 row pointers.
+      shape: static (n_rows, n_cols).
+    """
+
+    def __init__(self, data, indices, indptr, shape):
+        self.data = data
+        self.indices = indices
+        self.indptr = indptr
+        self.shape = tuple(int(s) for s in shape)
+
+    def tree_flatten(self):
+        return (self.data, self.indices, self.indptr), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, indices, indptr = children
+        return cls(data, indices, indptr, aux[0])
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def row_ids(self) -> jax.Array:
+        """Expand indptr to one row id per nonzero (jit-safe, static shapes)."""
+        nnz = self.data.shape[0]
+        marks = jnp.zeros(nnz, dtype=jnp.int32)
+        # indptr[1:-1] are the start offsets of rows 1..n-1; a +1 mark at each
+        # start followed by a cumsum yields the row index of every nonzero.
+        # Empty rows contribute coincident marks, which cumsum handles.
+        marks = marks.at[self.indptr[1:-1]].add(1, mode="drop")
+        return jnp.cumsum(marks)
+
+    @property
+    def T(self) -> "CSR":
+        return self.tocoo().T.tocsr()
+
+    def conj(self) -> "CSR":
+        return CSR(jnp.conj(self.data), self.indices, self.indptr, self.shape)
+
+    def with_data(self, data) -> "CSR":
+        return CSR(data, self.indices, self.indptr, self.shape)
+
+    def tocoo(self) -> COO:
+        return COO(self.data, self.row_ids(), self.indices, self.shape)
+
+    def todense(self) -> jax.Array:
+        return self.tocoo().todense()
+
+    def __matmul__(self, x):
+        return _matvec(self, x)
+
+    def __repr__(self):
+        return f"CSR(shape={self.shape}, nnz={self.nnz}, dtype={self.dtype})"
+
+
+@jax.tree_util.register_pytree_node_class
+class DIA:
+    """Diagonal (banded / stencil) storage with static offsets.
+
+    Attributes:
+      data: (ndiag, n_rows) values. ``data[d, i]`` is A[i, i + offsets[d]]
+        (entries whose column falls outside the matrix are ignored and should
+        be zero).
+      offsets: static tuple of ints, one per stored diagonal.
+      shape: static (n_rows, n_cols).
+
+    SpMV is ``y[i] = sum_d data[d, i] * x[i + offsets[d]]`` — static shifts
+    only, no gathers; this is the TPU fast path.
+    """
+
+    def __init__(self, data, offsets: Sequence[int], shape):
+        self.data = data
+        self.offsets = tuple(int(o) for o in offsets)
+        self.shape = tuple(int(s) for s in shape)
+
+    def tree_flatten(self):
+        return (self.data,), (self.offsets, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @property
+    def ndiag(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def bandwidth(self) -> int:
+        return max(abs(o) for o in self.offsets) if self.offsets else 0
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        """Count of stored (in-bounds) entries."""
+        n, m = self.shape
+        total = 0
+        for o in self.offsets:
+            total += max(0, min(n, m - o) - max(0, -o))
+        return total
+
+    @property
+    def T(self) -> "DIA":
+        # A^T[i, i+k] = A[i+k, i] = data_for_offset(-k)[i+k]
+        n, m = self.shape
+        rows_t = m
+        new_offsets = tuple(-o for o in self.offsets)
+        cols = []
+        for d, o in enumerate(self.offsets):
+            # new diagonal at offset -o over rows_t entries:
+            # T.data[d, i] = A[i - o, i] = data[d, i - o] shifted by +o
+            shifted = _shift(self.data[d], o, rows_t)
+            cols.append(shifted)
+        return DIA(jnp.stack(cols), new_offsets, (m, n))
+
+    def conj(self) -> "DIA":
+        return DIA(jnp.conj(self.data), self.offsets, self.shape)
+
+    def with_data(self, data) -> "DIA":
+        return DIA(data, self.offsets, self.shape)
+
+    def tocoo(self) -> COO:
+        n, m = self.shape
+        rows_list, cols_list, vals_list = [], [], []
+        for d, o in enumerate(self.offsets):
+            i0 = max(0, -o)
+            i1 = min(n, m - o)
+            if i1 <= i0:
+                continue
+            idx = jnp.arange(i0, i1, dtype=jnp.int32)
+            rows_list.append(idx)
+            cols_list.append(idx + o)
+            vals_list.append(self.data[d, i0:i1])
+        return COO(
+            jnp.concatenate(vals_list),
+            jnp.concatenate(rows_list),
+            jnp.concatenate(cols_list),
+            self.shape,
+        )
+
+    def todense(self) -> jax.Array:
+        return self.tocoo().todense()
+
+    def __matmul__(self, x):
+        return _matvec(self, x)
+
+    def __repr__(self):
+        return (
+            f"DIA(shape={self.shape}, ndiag={self.ndiag}, "
+            f"offsets={self.offsets}, dtype={self.dtype})"
+        )
+
+
+def _shift(v: jax.Array, k: int, out_len: int) -> jax.Array:
+    """Return w with w[i] = v[i - k] (zero outside), length out_len."""
+    n = v.shape[0]
+    out = jnp.zeros((out_len,), dtype=v.dtype)
+    if k >= 0:
+        length = min(n, out_len - k)
+        if length > 0:
+            out = out.at[k : k + length].set(v[:length])
+    else:
+        length = min(n + k, out_len)
+        if length > 0:
+            out = out.at[:length].set(v[-k : -k + length])
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+class BSR:
+    """Block-sparse-row matrix with dense square blocks.
+
+    Attributes:
+      data: (nblocks, bs, bs) dense blocks.
+      indices: (nblocks,) int32 block-column indices.
+      indptr: (n_block_rows + 1,) int32.
+      shape: static (n_rows, n_cols); must be divisible by bs.
+
+    Each block is a dense tile; SpMV/SpMM contract blocks on the MXU.
+    """
+
+    def __init__(self, data, indices, indptr, shape):
+        self.data = data
+        self.indices = indices
+        self.indptr = indptr
+        self.shape = tuple(int(s) for s in shape)
+
+    def tree_flatten(self):
+        return (self.data, self.indices, self.indptr), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, indices, indptr = children
+        return cls(data, indices, indptr, aux[0])
+
+    @property
+    def blocksize(self) -> int:
+        return int(self.data.shape[1])
+
+    @property
+    def n_block_rows(self) -> int:
+        return self.shape[0] // self.blocksize
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0]) * self.blocksize**2
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def block_row_ids(self) -> jax.Array:
+        nb = self.data.shape[0]
+        marks = jnp.zeros(nb, dtype=jnp.int32)
+        marks = marks.at[self.indptr[1:-1]].add(1, mode="drop")
+        return jnp.cumsum(marks)
+
+    def with_data(self, data) -> "BSR":
+        return BSR(data, self.indices, self.indptr, self.shape)
+
+    def tocoo(self) -> COO:
+        bs = self.blocksize
+        brow = self.block_row_ids()  # (nblocks,)
+        bcol = self.indices
+        ii = jnp.arange(bs, dtype=jnp.int32)
+        rows = (brow[:, None, None] * bs + ii[None, :, None]).astype(jnp.int32)
+        cols = (bcol[:, None, None] * bs + ii[None, None, :]).astype(jnp.int32)
+        rows = jnp.broadcast_to(rows, self.data.shape).reshape(-1)
+        cols = jnp.broadcast_to(cols, self.data.shape).reshape(-1)
+        return COO(self.data.reshape(-1), rows, cols, self.shape)
+
+    def todense(self) -> jax.Array:
+        return self.tocoo().todense()
+
+    def __matmul__(self, x):
+        return _matvec(self, x)
+
+    def __repr__(self):
+        return (
+            f"BSR(shape={self.shape}, blocks={self.data.shape[0]}x"
+            f"{self.blocksize}², dtype={self.dtype})"
+        )
+
+
+SPARSE_TYPES = (COO, CSR, DIA, BSR)
+
+
+def is_sparse(A: Any) -> bool:
+    return isinstance(A, SPARSE_TYPES)

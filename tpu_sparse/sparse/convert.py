@@ -1,0 +1,138 @@
+"""Host-side format construction and conversion.
+
+Parity target: the reference's converters in utils/matrix_utils.py:12-140
+(dense↔COO↔CSR↔CSC). Conversions here run on host (numpy) because they are
+setup-time operations with data-dependent shapes; the resulting containers
+hold device arrays with static shapes, ready for jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sparse.sparse.containers import BSR, COO, CSR, DIA
+
+
+def _np(a) -> np.ndarray:
+    return np.asarray(a)
+
+
+def dense_to_csr(A, tol: float = 0.0) -> CSR:
+    """Build CSR from a dense matrix, dropping |a| <= tol entries."""
+    An = _np(A)
+    mask = np.abs(An) > tol
+    row, col = np.nonzero(mask)
+    order = np.lexsort((col, row))
+    row, col = row[order], col[order]
+    data = An[row, col]
+    indptr = np.zeros(An.shape[0] + 1, dtype=np.int32)
+    np.add.at(indptr, row + 1, 1)
+    indptr = np.cumsum(indptr, dtype=np.int32)
+    return CSR(
+        jnp.asarray(data),
+        jnp.asarray(col.astype(np.int32)),
+        jnp.asarray(indptr),
+        An.shape,
+    )
+
+
+def dense_to_coo(A, tol: float = 0.0) -> COO:
+    An = _np(A)
+    row, col = np.nonzero(np.abs(An) > tol)
+    return COO(
+        jnp.asarray(An[row, col]),
+        jnp.asarray(row.astype(np.int32)),
+        jnp.asarray(col.astype(np.int32)),
+        An.shape,
+    )
+
+
+def coo_to_csr(A: COO) -> CSR:
+    row, col, data = _np(A.row), _np(A.col), _np(A.data)
+    order = np.lexsort((col, row))
+    row, col, data = row[order], col[order], data[order]
+    indptr = np.zeros(A.shape[0] + 1, dtype=np.int32)
+    np.add.at(indptr, row + 1, 1)
+    indptr = np.cumsum(indptr, dtype=np.int32)
+    return CSR(
+        jnp.asarray(data),
+        jnp.asarray(col.astype(np.int32)),
+        jnp.asarray(indptr),
+        A.shape,
+    )
+
+
+def csr_from_arrays(data, indices, indptr, shape) -> CSR:
+    return CSR(
+        jnp.asarray(data),
+        jnp.asarray(_np(indices).astype(np.int32)),
+        jnp.asarray(_np(indptr).astype(np.int32)),
+        shape,
+    )
+
+
+def csr_to_dia(A: CSR, max_diags: Optional[int] = None) -> Optional[DIA]:
+    """Convert CSR to DIA if the number of distinct diagonals is small.
+
+    Returns None when the matrix is not diagonal-structured (more than
+    ``max_diags`` distinct offsets), so callers can fall back to CSR.
+    """
+    n, m = A.shape
+    data = _np(A.data)
+    indices = _np(A.indices)
+    indptr = _np(A.indptr)
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    offs = indices.astype(np.int64) - rows
+    uniq = np.unique(offs)
+    if max_diags is None:
+        max_diags = 64
+    if uniq.size > max_diags:
+        return None
+    dia_data = np.zeros((uniq.size, n), dtype=data.dtype)
+    pos = np.searchsorted(uniq, offs)
+    dia_data[pos, rows] = data
+    return DIA(jnp.asarray(dia_data), tuple(int(o) for o in uniq), (n, m))
+
+
+def dia_from_offsets(offsets, diag_data, shape) -> DIA:
+    """Build DIA directly from offsets + (ndiag, n) data array."""
+    return DIA(jnp.asarray(diag_data), tuple(int(o) for o in offsets), shape)
+
+
+def csr_to_bsr(A: CSR, blocksize: int) -> BSR:
+    """Convert CSR to BSR with the given block size (shape must divide)."""
+    n, m = A.shape
+    bs = blocksize
+    if n % bs or m % bs:
+        raise ValueError(f"shape {A.shape} not divisible by blocksize {bs}")
+    data = _np(A.data)
+    indices = _np(A.indices)
+    indptr = _np(A.indptr)
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    brow = rows // bs
+    bcol = indices // bs
+    keys = brow.astype(np.int64) * (m // bs) + bcol
+    uniq, inv = np.unique(keys, return_inverse=True)
+    nblocks = uniq.size
+    blocks = np.zeros((nblocks, bs, bs), dtype=data.dtype)
+    blocks[inv, rows % bs, indices % bs] = data
+    ubrow = (uniq // (m // bs)).astype(np.int32)
+    ubcol = (uniq % (m // bs)).astype(np.int32)
+    bindptr = np.zeros(n // bs + 1, dtype=np.int32)
+    np.add.at(bindptr, ubrow + 1, 1)
+    bindptr = np.cumsum(bindptr, dtype=np.int32)
+    return BSR(jnp.asarray(blocks), jnp.asarray(ubcol), jnp.asarray(bindptr), (n, m))
+
+
+def to_csr(A) -> CSR:
+    """Best-effort conversion of any supported operand to CSR."""
+    if isinstance(A, CSR):
+        return A
+    if isinstance(A, COO):
+        return coo_to_csr(A)
+    if isinstance(A, (DIA, BSR)):
+        return coo_to_csr(A.tocoo())
+    return dense_to_csr(A)
