@@ -1,19 +1,25 @@
 #!/usr/bin/env python3
-"""Headline benchmark: CG time-to-tolerance + SpMV throughput on the
-current default JAX backend (real TPU chip under the driver).
-
-Prints ONE JSON line:
+"""Headline benchmark on the current default JAX backend (real TPU chip
+under the driver). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric: CG time-to-tol=1e-6 on a 2-D 5-point Poisson system,
-compared against the reference's RTX 4090 Module A CG numbers
-(BASELINE.md; README.md:632-634 — 100x100 CG: 23.4 ms). vs_baseline is
-baseline_time / our_time (higher is better, >1 beats the reference).
+Headline: Pallas 27-point 3-D Poisson SpMV throughput (Gnnz/s) — the
+north-star metric from BASELINE.json ("SpMV nnz/s/chip at HBM
+speed-of-light"). Extras report the CG time-to-tolerance comparison against
+the reference's RTX 4090 fp64 protocol (BASELINE.md: CG 500x500 = 46.2 ms,
+tol=1e-8; README.md:632-634). vs_baseline for the headline is the measured
+fraction of the v5e HBM speed-of-light bound (~820 GB/s) — >0.7 means the
+kernel is within 30% of the hardware roofline.
+
+Methodology: the remote TPU runtime has ~27 ms fixed dispatch latency per
+program launch, so per-op cost is measured as the slope between chained
+K1- and K2-iteration jitted loops (dispatch cancels out). Solve benchmarks
+report both wall time (dispatch included, like the reference's protocol)
+and on-device time (slope).
 """
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -21,69 +27,97 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+HBM_SPEED_OF_LIGHT_GBS = 820.0  # TPU v5e
 
 
-def _block(x):
-    return jax.block_until_ready(x)
+def _chain_time(op, v, K):
+    """Time K dependent applications of op in ONE dispatch, forcing
+    completion with a scalar device→host fetch (block_until_ready does not
+    reliably block on the remote runtime)."""
+    g = jax.jit(lambda x: jnp.sum(lax.fori_loop(0, K, lambda i, y: op(y), x)))
+    float(g(v))  # warmup + force
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(g(v))
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
-def time_fn(fn, *args, warmup=2, iters=5):
+def per_iter_time(op, v, K1=5, K2=50):
+    t1 = _chain_time(op, v, K1)
+    t2 = _chain_time(op, v, K2)
+    return max((t2 - t1) / (K2 - K1), 1e-9)
+
+
+def wall_time(fn, *args, warmup=2, iters=5):
+    """Wall time per call including dispatch, forcing completion by
+    fetching a scalar from the first output leaf."""
+
+    def force(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(jnp.abs(leaf)))
+
     for _ in range(warmup):
-        _block(fn(*args))
+        force(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        _block(fn(*args))
+        force(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
 
 def main():
-    from tpu_sparse.solvers import cg_full
-    from tpu_sparse.sparse import generators
     from tpu_sparse.kernels import spmv
+    from tpu_sparse.solvers import cg_refined
+    from tpu_sparse.sparse import generators
 
-    dtype = np.float32  # TPU-native dtype for the hardware benchmark
-
-    # --- headline: CG time-to-tol on 100x100 Poisson (matches the
-    # reference's benchmark protocol sizes, benchmark.py:68-81) ---
-    nx = 100
-    A = generators.poisson2d(nx, dtype=dtype)
-    n = A.shape[0]
     rng = np.random.default_rng(0)
-    x_true = jnp.asarray(rng.standard_normal(n).astype(dtype))
+    extra = {"backend": jax.default_backend()}
+
+    # --- headline: 27-pt 3-D Poisson SpMV, f32, n = 128^3 ---
+    nx3 = 128
+    A3 = generators.poisson3d_27pt(nx3, dtype=np.float32)
+    n3 = A3.shape[0]
+    v = jnp.asarray(rng.standard_normal(n3).astype(np.float32))
+    scale = np.float32(1.0 / 27.0)
+    dt = per_iter_time(lambda y: spmv(A3, y) * scale, v)
+    gnnz = A3.nnz / dt / 1e9
+    bytes_per = A3.nnz * 4 + 3 * n3 * 4
+    bw = bytes_per / dt / 1e9
+    frac_sol = bw / HBM_SPEED_OF_LIGHT_GBS
+    extra.update({
+        "spmv_27pt_n": n3,
+        "spmv_27pt_us": round(dt * 1e6, 1),
+        "spmv_27pt_gbs": round(bw, 1),
+    })
+
+    # --- reference-protocol CG: fp64-accurate solve, tridiagonal n=500 ---
+    jax.config.update("jax_enable_x64", True)
+    A = generators.tridiagonal(500)
+    x_true = jnp.asarray(rng.standard_normal(500))
     b = A @ x_true
+    solve = jax.jit(
+        lambda a, rhs: cg_refined(a, rhs, tol=1e-8, maxiter=5000))
+    t_wall = wall_time(solve, A, b)
+    x, info, iters, res = jax.block_until_ready(solve(A, b))
+    extra.update({
+        "cg_tridiag500_wall_ms": round(t_wall * 1e3, 2),
+        "cg_tridiag500_vs_rtx4090": round(46.2 / (t_wall * 1e3), 2),
+        "cg_converged": bool(int(info) == 0),
+        "cg_inner_iters": int(iters),
+        "cg_residual": float(res),
+    })
 
-    solve = jax.jit(lambda a, rhs: cg_full(a, rhs, tol=1e-6, maxiter=2000))
-    t_cg = time_fn(solve, A, b)
-    x, info, iters, res = solve(A, b)
-    converged = int(info) == 0
-
-    # --- SpMV throughput (nnz/s) on the 27-point 3-D Poisson stencil ---
-    nx3 = 48
-    A3 = generators.poisson3d_27pt(nx3, dtype=dtype)
-    v = jnp.asarray(rng.standard_normal(A3.shape[0]).astype(dtype))
-    mv = jax.jit(lambda a, x_: spmv(a, x_))
-    t_spmv = time_fn(mv, A3, v)
-    nnz = A3.nnz
-    gnnz_s = nnz / t_spmv / 1e9
-
-    baseline_ms = 23.4  # reference Module A CG 100x100 on RTX 4090
-    ours_ms = t_cg * 1e3
     out = {
-        "metric": "cg_time_to_tol_poisson2d_100x100",
-        "value": round(ours_ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(baseline_ms / ours_ms, 3),
-        "extra": {
-            "converged": converged,
-            "iterations": int(iters),
-            "residual": float(res),
-            "spmv_27pt_gnnz_per_s": round(gnnz_s, 3),
-            "spmv_27pt_n": int(A3.shape[0]),
-            "backend": jax.default_backend(),
-            "dtype": str(np.dtype(dtype)),
-        },
+        "metric": "spmv_27pt_poisson3d_gnnz_per_s",
+        "value": round(gnnz, 2),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(frac_sol, 3),
+        "extra": extra,
     }
     print(json.dumps(out))
 

@@ -128,16 +128,28 @@ class SparseSolver:
               backend: Optional[str] = None, tol: float = 1e-6,
               atol: float = 0.0, maxiter: Optional[int] = None,
               M: Optional[Any] = None, restart: int = 20,
-              solve_method: str = "batched",
+              solve_method: str = "batched", precision: str = "full",
               **kwargs) -> Tuple[jax.Array, SolverResult]:
-        """Solve Ax = b. Returns (x, SolverResult)."""
+        """Solve Ax = b. Returns (x, SolverResult).
+
+        precision: 'full' solves in b's dtype; 'mixed' runs f32 inner Krylov
+        sweeps with defect-correction refinement to the requested tolerance
+        (the TPU-native path to f64-level accuracy at f32 speed).
+        """
+        if precision not in ("full", "mixed"):
+            raise ValueError(
+                f"unknown precision '{precision}'; use 'full' or 'mixed'")
         method = method or self.default_method
         backend = backend or self.default_backend
         sel_backend, sel_method = self._select_backend(backend, method)
         if self.verbose:
             print(f"[SparseSolver] backend={sel_backend} method={sel_method}")
 
-        if sel_backend == "krylov":
+        if sel_backend == "krylov" and precision == "mixed":
+            x, info, iters, res = self._solve_krylov_mixed(
+                A, b, x0, sel_method, tol, atol, maxiter, M, restart,
+                solve_method)
+        elif sel_backend == "krylov":
             x, info, iters, res = self._solve_krylov(
                 A, b, x0, sel_method, tol, atol, maxiter, M, restart,
                 solve_method)
@@ -178,6 +190,26 @@ class SparseSolver:
         if method == "gmres":
             return gmres_diff(A, b, x0, tol=tol, atol=atol, restart=restart,
                               maxiter=maxiter, M=M, solve_method=solve_method)
+        raise ValueError(f"unknown krylov method: {method}")
+
+    def _solve_krylov_mixed(self, A, b, x0, method, tol, atol, maxiter, M,
+                            restart, solve_method):
+        from tpu_sparse.solvers import (
+            bicgstab_refined,
+            cg_refined,
+            gmres_refined,
+        )
+
+        if method == "cg":
+            return cg_refined(A, b, x0, tol=tol, atol=atol, maxiter=maxiter,
+                              M=M)
+        if method == "bicgstab":
+            return bicgstab_refined(A, b, x0, tol=tol, atol=atol,
+                                    maxiter=maxiter, M=M)
+        if method == "gmres":
+            return gmres_refined(A, b, x0, tol=tol, atol=atol,
+                                 restart=restart, maxiter=maxiter, M=M,
+                                 solve_method=solve_method)
         raise ValueError(f"unknown krylov method: {method}")
 
     def _solve_amg(self, A, b, x0, method, tol, atol, maxiter, **kwargs):

@@ -1,15 +1,172 @@
-"""Pallas TPU SpMV kernels (DIA stencil + BSR block kernels).
+"""Pallas TPU SpMV kernels.
 
-Placeholder returning None routes callers to the XLA reference kernels; the
-real kernels land in the Pallas milestone.
+`dia_spmv_pallas` — stencil (DIA) SpMV targeting HBM speed-of-light. The
+matrix is (ndiag, n) diagonal data; the kernel streams row-chunks of every
+diagonal through VMEM (auto double-buffered by the Pallas grid pipeline)
+while **manually double-buffering** the matching x windows (chunk +
+bandwidth halos) from HBM, so the x DMA for chunk i+1 overlaps chunk i's
+compute. All diagonal shifts are static slices into the VMEM x window —
+zero gathers, pure VPU multiply-accumulate: bytes ≈ 4·(nnz + 2n).
+
+Replaces the capability of torch.sparse/cuSPARSE SpMV in the reference
+(SURVEY.md §2.2); the XLA segment-sum path in kernels/reference.py remains
+the general-format fallback.
 """
 
 from __future__ import annotations
 
+import functools
+import math
 
-def dia_spmv_pallas(A, x):
-    return None
+import jax
+import jax.numpy as jnp
+
+from tpu_sparse.sparse.containers import BSR, DIA
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
 
 
-def bsr_spmv_pallas(A, x):
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dia_kernel(xp_hbm, data_ref, y_ref, xa, xb, sems, *, offsets, w, C, W,
+                grid):
+    """xa/xb: (W,) double buffers (two separate scratch refs — Mosaic cannot
+    slice the leading axis of a (2, W) 1-D-tiled buffer); sems: 2 DMA
+    semaphores. The DMA for chunk i+1 is issued before chunk i's compute."""
+    # All index math through lax with explicit int32 constants: the jnp
+    # operator path (promotion machinery) infinitely recurses when tracing
+    # Mosaic kernels under jax_enable_x64.
+    lax_ = jax.lax
+    i = pl.program_id(0)
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+    ip1 = lax_.add(i, i32(1))
+    parity = lax_.rem(i, i32(2))
+    parity_n = lax_.rem(ip1, i32(2))
+    has_next = lax_.lt(ip1, i32(grid))
+
+    def x_dma(step, buf, slot):
+        # int32 semaphore index: a Python int would lower as i64 under x64
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(lax_.mul(step, i32(C)), W)], buf,
+            sems.at[i32(slot)])
+
+    @pl.when(lax_.eq(i, i32(0)))
+    def _():
+        x_dma(i32(0), xa, 0).start()
+
+    @pl.when(lax_.bitwise_and(has_next, lax_.eq(parity_n, i32(0))))
+    def _():
+        x_dma(ip1, xa, 0).start()
+
+    @pl.when(lax_.bitwise_and(has_next, lax_.eq(parity_n, i32(1))))
+    def _():
+        x_dma(ip1, xb, 1).start()
+
+    def compute(buf):
+        acc = None
+        for d, o in enumerate(offsets):
+            seg = buf[w + o : w + o + C]  # static shift slices
+            term = data_ref[d, :] * seg
+            acc = term if acc is None else acc + term
+        y_ref[:] = acc
+
+    @pl.when(lax_.eq(parity, i32(0)))
+    def _():
+        x_dma(i, xa, 0).wait()
+        compute(xa)
+
+    @pl.when(lax_.eq(parity, i32(1)))
+    def _():
+        x_dma(i, xb, 1).wait()
+        compute(xb)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "shape"))
+def _dia_spmv_pallas_impl(data, x, *, offsets, shape):
+    # Mosaic kernels must be traced with 32-bit index semantics; under
+    # jax_enable_x64 the Python-int constants in the kernel lower as i64 and
+    # break legalization (and the jnp promotion path can even recurse).
+    # The operands are f32, so 32-bit trace mode is value-preserving here.
+    with jax.enable_x64(False):
+        return _dia_spmv_pallas_impl_inner(data, x, offsets=offsets,
+                                           shape=shape)
+
+
+def _dia_spmv_pallas_impl_inner(data, x, *, offsets, shape):
+    n = shape[0]
+    w = max(max(abs(o) for o in offsets), 1)
+    ndiag = len(offsets)
+    dtype = jnp.result_type(data, x)
+
+    # Chunk size: multiple of 1024; prefer a divisor of n (skips the data
+    # pad, which would otherwise re-run every solver iteration); cap VMEM at
+    # ~2 × ndiag × C × 4B ≤ ~8 MB for the pipelined data blocks.
+    max_c = max(1024, (8 * 1024 * 1024) // (2 * 4 * max(ndiag, 1))
+                // 1024 * 1024)
+    C = min(_round_up(n, 1024), max_c, 64 * 1024)
+    if n % 1024 == 0:
+        while C > 1024 and n % C != 0:
+            C -= 1024
+    n_pad = _round_up(n, C)
+    grid = n_pad // C
+    # Mosaic needs 1-D DMA slices aligned to the 1024-element tiling.
+    W = _round_up(C + 2 * w, 1024)
+
+    xp = jnp.pad(x, (w, (n_pad - C + W) - n - w))
+    data_p = (data if n_pad == n
+              else jnp.pad(data, ((0, 0), (0, n_pad - n))))
+
+    kernel = functools.partial(_dia_kernel, offsets=offsets, w=w, C=C, W=W,
+                               grid=grid)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad,), dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM
+            pl.BlockSpec((ndiag, C), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((W,), dtype),
+            pltpu.VMEM((W,), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n,
+            bytes_accessed=(ndiag + 2) * n_pad * 4,
+            transcendentals=0,
+        ),
+    )(xp, data_p)
+    return y[:n]
+
+
+def dia_spmv_pallas(A: DIA, x: jax.Array):
+    """Pallas DIA SpMV; returns None to signal fallback when unsupported."""
+    if not _HAS_PALLAS:
+        return None
+    if not A.offsets:
+        return None
+    n, m = A.shape
+    if n != m:
+        return None  # rectangular stencils go through the XLA path
+    if A.data.dtype == jnp.float64 or x.dtype == jnp.float64:
+        return None  # f64 stays on the XLA path (TPU f64 is emulated)
+    w = max(abs(o) for o in A.offsets)
+    if w >= n:
+        return None
+    return _dia_spmv_pallas_impl(A.data, x, offsets=A.offsets, shape=A.shape)
+
+
+def bsr_spmv_pallas(A: BSR, x: jax.Array):
     return None

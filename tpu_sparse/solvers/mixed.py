@@ -1,0 +1,142 @@
+"""Mixed-precision iterative refinement (defect correction).
+
+TPU-native answer to the reference's fp64-everywhere policy
+(torch_sparse_linalg.py:57-58): f64 is emulated on TPU (~10-40× slower than
+the native f32 VPU path), so solving everything in f64 wastes the hardware.
+Instead:
+
+    x = 0  (f64)
+    repeat:
+        r  = b - A x                (f64 — one emulated SpMV per sweep)
+        d  = solve(A₃₂, r₃₂)        (f32 Krylov solve, native speed)
+        x += d
+    until ‖r‖ ≤ max(tol·‖b‖, atol)
+
+Each sweep multiplies the residual by roughly the inner tolerance, so two or
+three f32 solves reach 1e-8 — the classic LAPACK-style refinement scheme,
+here with Krylov inner solves. Runs as one jitted while_loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpu_sparse.kernels import as_matvec
+from tpu_sparse.solvers.krylov import (
+    _default_maxiter,
+    bicgstab_full,
+    cg_full,
+    gmres_full,
+)
+from tpu_sparse.sparse.containers import is_sparse
+from tpu_sparse.utils.tree import (
+    tree_add,
+    tree_map,
+    tree_norm,
+    tree_sub,
+    tree_vdot_real,
+    tree_zeros_like,
+)
+
+
+def _cast_tree(tree, dtype):
+    return tree_map(lambda leaf: leaf.astype(dtype), tree)
+
+
+def _cast_operator(A, dtype):
+    if is_sparse(A):
+        return A.with_data(A.data.astype(dtype))
+    if callable(A) and not hasattr(A, "ndim"):
+        # matrix-free: wrap with casts around the user's operator
+        def op(x32):
+            return _cast_tree(A(_cast_tree(x32, jnp.float64)), dtype)
+
+        return op
+    return A.astype(dtype)
+
+
+def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
+                  tol: float = 1e-8, atol: float = 0.0,
+                  inner_tol: float = 1e-5,
+                  maxiter: Optional[int] = None,
+                  max_sweeps: int = 6, M=None,
+                  inner_dtype=jnp.float32, **inner_kwargs):
+    """Defect-correction refinement around an f32 inner Krylov solve.
+
+    The sweep loop is a static Python unroll rather than a while_loop:
+    nesting the inner solver's while_loop (which may contain a Pallas
+    kernel) inside an outer while_loop trips an infinite recursion in
+    tracing, and the unroll also lets converged sweeps short-circuit —
+    a converged sweep feeds the inner solver an all-zero rhs, whose
+    residual check exits at iteration 0.
+
+    Returns (x, info, total_inner_iterations, residual_norm) in b's dtype.
+    """
+    A_fn = as_matvec(A)
+    A32 = _cast_operator(A, inner_dtype)
+    M32 = None
+    if M is not None:
+        M32 = _cast_operator(M, inner_dtype) if is_sparse(M) else M
+    maxiter = _default_maxiter(b, maxiter)
+
+    b_norm = tree_norm(b)
+    thresh = jnp.maximum(tol * b_norm, atol)
+    out_dtype = _first_dtype(b)
+
+    x = tree_zeros_like(b) if x0 is None else x0
+    res_norm = tree_norm(tree_sub(b, A_fn(x)))
+    inner_iters = jnp.array(0, jnp.int32)
+
+    for _ in range(max_sweeps):
+        done = (res_norm <= thresh) | (~jnp.isfinite(res_norm))
+        r = tree_sub(b, A_fn(x))
+        rhs32 = _cast_tree(
+            tree_map(lambda leaf: jnp.where(done, 0.0, leaf), r),
+            inner_dtype)
+        d32, _, it, _ = inner_solver(
+            A32, rhs32, None, tol=inner_tol, maxiter=maxiter, M=M32,
+            **inner_kwargs)
+        x = tree_add(x, _cast_tree(d32, out_dtype))
+        res_norm = jnp.where(done, res_norm,
+                             tree_norm(tree_sub(b, A_fn(x))))
+        inner_iters = inner_iters + it
+
+    failed = (~jnp.isfinite(res_norm)) | (res_norm > thresh)
+    info = jnp.where(failed, -1, 0).astype(jnp.int32)
+    return x, info, inner_iters, res_norm
+
+
+def _first_dtype(tree):
+    return jax.tree_util.tree_leaves(tree)[0].dtype
+
+
+def cg_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
+               inner_tol: float = 1e-5, maxiter: Optional[int] = None,
+               max_sweeps: int = 8, M=None):
+    """f64-accurate CG at f32 speed via defect correction."""
+    return refined_solve(cg_full, A, b, x0, tol=tol, atol=atol,
+                         inner_tol=inner_tol, maxiter=maxiter,
+                         max_sweeps=max_sweeps, M=M)
+
+
+def bicgstab_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
+                     inner_tol: float = 1e-5, maxiter: Optional[int] = None,
+                     max_sweeps: int = 8, M=None):
+    return refined_solve(bicgstab_full, A, b, x0, tol=tol, atol=atol,
+                         inner_tol=inner_tol, maxiter=maxiter,
+                         max_sweeps=max_sweeps, M=M)
+
+
+def gmres_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
+                  inner_tol: float = 1e-5, restart: int = 20,
+                  maxiter: Optional[int] = None, max_sweeps: int = 8,
+                  M=None, solve_method: str = "batched"):
+    return refined_solve(gmres_full, A, b, x0, tol=tol, atol=atol,
+                         inner_tol=inner_tol, maxiter=maxiter,
+                         max_sweeps=max_sweeps, M=M, restart=restart,
+                         solve_method=solve_method)
