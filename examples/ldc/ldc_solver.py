@@ -117,6 +117,8 @@ class LDCSolver:
         self.v = jnp.zeros((ny + 1, nx + 2))
         self.p = jnp.zeros((ny, nx))
         self._step = jax.jit(self._make_step())
+        self._multi_step = jax.jit(self._make_multi_step(),
+                                   static_argnames=("nsteps",))
 
     # -- physics -----------------------------------------------------------
 
@@ -214,6 +216,21 @@ class LDCSolver:
 
         return step
 
+    def _make_multi_step(self):
+        step = self._make_step()
+
+        def multi(u, v, p, nsteps: int):
+            def body(carry, _):
+                u, v, p = carry
+                u, v, p, mres, iters = step(u, v, p)
+                return (u, v, p), (mres, iters)
+
+            (u, v, p), (mres, iters) = jax.lax.scan(
+                body, (u, v, p), None, length=nsteps)
+            return u, v, p, mres[-1], jnp.sum(iters)
+
+        return multi
+
     # -- driver ------------------------------------------------------------
 
     def step(self):
@@ -221,17 +238,26 @@ class LDCSolver:
             self.u, self.v, self.p)
         return float(mres), int(iters)
 
-    def run(self, nsteps: int, verbose: bool = False,
-            log_every: int = 100) -> dict:
+    def run(self, nsteps: int, verbose: bool = False, chunk: int = 100
+            ) -> dict:
+        """Advance nsteps. Steps are batched ``chunk`` per dispatch with
+        lax.scan — one device program per chunk instead of one per step,
+        which removes the per-step host round trip (the dominant cost on
+        remote TPU runtimes; reference runs one Python step per loop,
+        ldc_solver_common.py:232-253)."""
         t0 = time.perf_counter()
         mres, iters_total = 0.0, 0
-        for i in range(nsteps):
-            mres, iters = self.step()
-            iters_total += iters
-            if verbose and (i + 1) % log_every == 0:
-                print(f"step {i + 1:5d}  mass-res {mres:.3e}  "
-                      f"p-iters {iters}")
-        jax.block_until_ready(self.u)
+        done = 0
+        while done < nsteps:
+            k = min(chunk, nsteps - done)
+            self.u, self.v, self.p, mres_a, iters_a = self._multi_step(
+                self.u, self.v, self.p, nsteps=k)
+            mres = float(mres_a)
+            iters_total += int(iters_a)
+            done += k
+            if verbose:
+                print(f"step {done:5d}  mass-res {mres:.3e}  "
+                      f"p-iters(chunk) {int(iters_a)}")
         elapsed = time.perf_counter() - t0
         return {
             "steps": nsteps,

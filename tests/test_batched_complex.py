@@ -1,0 +1,103 @@
+"""Batched (vmapped) solves and complex-dtype support."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_sparse.solvers import (
+    batch_bicgstab,
+    batch_cg,
+    batch_direct,
+    bicgstab,
+    cg,
+    cg_differentiable,
+    gmres,
+)
+from tpu_sparse.sparse import generators
+from tpu_sparse.sparse.convert import dense_to_csr
+
+
+def test_batch_cg():
+    n, k = 64, 4
+    A = generators.tridiagonal(n)
+    rng = np.random.default_rng(0)
+    X_true = jnp.asarray(rng.standard_normal((n, k)))
+    B = jnp.stack([A @ X_true[:, j] for j in range(k)], axis=1)
+    X, infos, iters, res = batch_cg(A, B, tol=1e-10)
+    assert X.shape == (n, k)
+    assert np.all(np.asarray(infos) == 0)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_true),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_batch_direct():
+    n, k = 64, 3
+    A = generators.tridiagonal(n)
+    rng = np.random.default_rng(1)
+    X_true = jnp.asarray(rng.standard_normal((n, k)))
+    B = jnp.stack([A @ X_true[:, j] for j in range(k)], axis=1)
+    X = batch_direct(A, B)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_true),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_legacy_differentiable_alias():
+    n = 32
+    A = generators.tridiagonal(n)
+    b = jnp.asarray(np.random.default_rng(2).standard_normal(n))
+    x, info = cg_differentiable(A, b, tol=1e-10)
+    assert int(info) == 0
+    g = jax.grad(lambda bb: jnp.sum(
+        cg_differentiable(A, bb, tol=1e-12)[0] ** 2))(b)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def _hermitian_complex(n, seed=0):
+    rng = np.random.default_rng(seed)
+    B = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = B @ B.conj().T + n * np.eye(n)
+    return jnp.asarray(A)
+
+
+def test_cg_complex_hermitian():
+    """Complex128 support (reference DEFAULT_COMPLEX_DTYPE,
+    torch_sparse_linalg.py:57-58)."""
+    n = 24
+    A = _hermitian_complex(n)
+    rng = np.random.default_rng(3)
+    x_true = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    b = A @ x_true
+    x, info = cg(A, b, tol=1e-12)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_gmres_complex():
+    n = 24
+    rng = np.random.default_rng(4)
+    Ad = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+          + 4 * n * np.eye(n))
+    A = jnp.asarray(Ad)
+    x_true = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    b = A @ x_true
+    x, info = gmres(A, b, tol=1e-12, restart=24)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_bicgstab_complex_sparse():
+    n = 32
+    rng = np.random.default_rng(5)
+    Ad = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    Ad[np.abs(Ad) < 1.0] = 0
+    Ad += 4 * n * np.eye(n)
+    A = dense_to_csr(Ad)
+    x_true = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    b = A @ x_true
+    x, info = bicgstab(A, b, tol=1e-12)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-7, atol=1e-8)

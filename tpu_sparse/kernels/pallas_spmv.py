@@ -160,8 +160,9 @@ def dia_spmv_pallas(A: DIA, x: jax.Array):
     n, m = A.shape
     if n != m:
         return None  # rectangular stencils go through the XLA path
-    if A.data.dtype == jnp.float64 or x.dtype == jnp.float64:
-        return None  # f64 stays on the XLA path (TPU f64 is emulated)
+    if A.data.dtype not in (jnp.float32, jnp.bfloat16) or \
+            x.dtype not in (jnp.float32, jnp.bfloat16):
+        return None  # f64/complex stay on the XLA path
     w = max(abs(o) for o in A.offsets)
     if w >= n:
         return None

@@ -122,8 +122,19 @@ class AMGHierarchy(NamedTuple):
 
 
 def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
-              max_levels: int = 50, coarse_size: int = 16) -> AMGHierarchy:
-    """Build the AMG hierarchy on host. ``A`` must be concrete (not traced)."""
+              max_levels: int = 50, coarse_size: int = 16,
+              use_native: Optional[bool] = None) -> AMGHierarchy:
+    """Build the AMG hierarchy on host. ``A`` must be concrete (not traced).
+
+    The graph phase (strength + aggregation + Galerkin RAP) runs in the
+    in-repo C++ kernels (tpu_sparse/native/amg_setup.cc) when the toolchain
+    is available — the native-setup counterpart of AMGX's C++ setup phase —
+    with a scipy fallback. Set use_native=False to force the fallback.
+    """
+    from tpu_sparse import native as _native
+
+    if use_native is None:
+        use_native = _native.available()
     A_sp = _to_scipy_csr(A).astype(np.float64)
     levels: List[AMGLevel] = []
     A_dev_top = A  # keep the caller's container for the finest level
@@ -132,17 +143,26 @@ def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
     current_dev = A_dev_top
     while (current.shape[0] > coarse_size
            and len(levels) < max_levels - 1):
-        S = _strength_graph(current, theta)
-        agg = _aggregate(S, target_size)
-        nc = int(agg.max()) + 1
+        if use_native:
+            agg, nc = _native.aggregate(current.indptr, current.indices,
+                                        current.data, theta, target_size)
+        else:
+            S = _strength_graph(current, theta)
+            agg = _aggregate(S, target_size)
+            nc = int(agg.max()) + 1
         if nc >= current.shape[0]:  # no coarsening progress — stop
             break
         n = current.shape[0]
         P_sp = sp.csr_matrix(
             (np.ones(n), (np.arange(n), agg)), shape=(n, nc))
         R_sp = P_sp.T.tocsr()
-        A_next = (R_sp @ current @ P_sp).tocsr()
-        A_next.sum_duplicates()
+        if use_native:
+            ic, jc, vc = _native.rap_pc(current.indptr, current.indices,
+                                        current.data, agg, nc)
+            A_next = sp.csr_matrix((vc, jc, ic), shape=(nc, nc))
+        else:
+            A_next = (R_sp @ current @ P_sp).tocsr()
+            A_next.sum_duplicates()
 
         dtype = (A.dtype if hasattr(A, "dtype") else jnp.float64)
         dl1 = np.abs(current).sum(axis=1).A1 if hasattr(

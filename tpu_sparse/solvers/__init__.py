@@ -12,8 +12,41 @@ from tpu_sparse.solvers.mixed import (
     gmres_refined,
     refined_solve,
 )
+from tpu_sparse.solvers.batched import (
+    batch_bicgstab,
+    batch_cg,
+    batch_direct,
+    batch_gmres,
+)
+
+
+def cg_differentiable(A, b, **kwargs):
+    """Legacy-name alias for the implicit-diff CG (reference
+    `cg_differentiable`, torch_sparse_linalg.py:1261-1367). Returns
+    (x, info)."""
+    from tpu_sparse.autodiff import cg_diff
+
+    out = cg_diff(A, b, **kwargs)
+    return out[0], out[1]
+
+
+def bicgstab_differentiable(A, b, **kwargs):
+    from tpu_sparse.autodiff import bicgstab_diff
+
+    out = bicgstab_diff(A, b, **kwargs)
+    return out[0], out[1]
+
+
+def gmres_differentiable(A, b, **kwargs):
+    from tpu_sparse.autodiff import gmres_diff
+
+    out = gmres_diff(A, b, **kwargs)
+    return out[0], out[1]
+
 
 __all__ = [
     "cg", "bicgstab", "gmres", "cg_full", "bicgstab_full", "gmres_full",
     "cg_refined", "bicgstab_refined", "gmres_refined", "refined_solve",
+    "batch_cg", "batch_bicgstab", "batch_gmres", "batch_direct",
+    "cg_differentiable", "bicgstab_differentiable", "gmres_differentiable",
 ]

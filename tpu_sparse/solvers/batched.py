@@ -1,0 +1,52 @@
+"""Batched multi-RHS solves.
+
+The reference's batched path is a sequential Python loop
+(`batch_cudss_spsolve`, cudss_solver.py:297-324). TPU-native version: vmap
+the whole solver over the RHS batch — one compiled program, all solves run
+as one fused batch on device (SpMV batches into SpMM on the MXU/VPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_sparse.solvers.krylov import bicgstab_full, cg_full, gmres_full
+
+
+def _batch(solver_full, A, B, **kw):
+    """Solve A X = B column-wise; B is (n, k) or a batch of pytrees."""
+
+    def one(b):
+        return solver_full(A, b, None, **kw)
+
+    return jax.vmap(one, in_axes=-1, out_axes=(-1, 0, 0, 0))(B)
+
+
+def batch_cg(A, B: jax.Array, *, tol: float = 1e-5, atol: float = 0.0,
+             maxiter: Optional[int] = None, M=None):
+    """CG over each column of B. Returns (X, infos, iters, res_norms)."""
+    return _batch(cg_full, A, B, tol=tol, atol=atol, maxiter=maxiter, M=M)
+
+
+def batch_bicgstab(A, B: jax.Array, *, tol: float = 1e-5, atol: float = 0.0,
+                   maxiter: Optional[int] = None, M=None):
+    return _batch(bicgstab_full, A, B, tol=tol, atol=atol, maxiter=maxiter,
+                  M=M)
+
+
+def batch_gmres(A, B: jax.Array, *, tol: float = 1e-5, atol: float = 0.0,
+                restart: int = 20, maxiter: Optional[int] = None, M=None,
+                solve_method: str = "batched"):
+    return _batch(gmres_full, A, B, tol=tol, atol=atol, restart=restart,
+                  maxiter=maxiter, M=M, solve_method=solve_method)
+
+
+def batch_direct(A, B: jax.Array):
+    """Direct solve per column (vmapped banded/dense solver)."""
+    from tpu_sparse.direct import direct_solve
+
+    return jax.vmap(lambda b: direct_solve(A, b), in_axes=-1,
+                    out_axes=-1)(B)
