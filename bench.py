@@ -112,6 +112,29 @@ def main():
         "cg_residual": float(res),
     })
 
+    # --- optional: >100M-nnz 27-pt CG (north-star target), env-gated since
+    # the first compile+upload takes ~6 min on the remote runtime ---
+    if os.environ.get("TPU_SPARSE_BENCH_BIG") == "1":
+        jax.config.update("jax_enable_x64", False)
+        Abig = generators.poisson3d_27pt(160, dtype=np.float32)
+        from tpu_sparse.solvers import cg_full
+
+        xb = jnp.asarray(
+            rng.standard_normal(Abig.shape[0]).astype(np.float32))
+        bb = Abig @ xb
+        gbig = jax.jit(lambda a, rhs: cg_full(a, rhs, tol=1e-6,
+                                              maxiter=500))
+        t_big = wall_time(gbig, Abig, bb, warmup=1, iters=3)
+        xg, info_b, it_b, res_b = gbig(Abig, bb)
+        extra.update({
+            "big_cg_nnz": int(Abig.nnz),
+            "big_cg_wall_ms": round(t_big * 1e3, 1),
+            "big_cg_iters": int(it_b),
+            "big_cg_converged": bool(int(info_b) == 0),
+            "big_cg_gnnz_per_s_effective": round(
+                Abig.nnz * int(it_b) / t_big / 1e9, 1),
+        })
+
     out = {
         "metric": "spmv_27pt_poisson3d_gnnz_per_s",
         "value": round(gnnz, 2),

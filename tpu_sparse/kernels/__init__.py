@@ -33,6 +33,10 @@ def set_pallas_enabled(enabled: bool) -> None:
 
 def spmv(A, x: jax.Array) -> jax.Array:
     """y = A @ x for any container / dense matrix."""
+    from tpu_sparse.sparse.bell import BELL
+
+    if isinstance(A, BELL):
+        return ref.bell_spmv(A, x)
     if isinstance(A, DIA):
         if _PALLAS_ENABLED and _on_tpu():
             from tpu_sparse.kernels import pallas_spmv
@@ -59,6 +63,16 @@ def spmv(A, x: jax.Array) -> jax.Array:
 
 def spmm(A, B: jax.Array) -> jax.Array:
     """Y = A @ B with dense B (multi-RHS)."""
+    from tpu_sparse.sparse.bell import BELL
+
+    if isinstance(A, BELL):
+        if _PALLAS_ENABLED and _on_tpu():
+            from tpu_sparse.kernels import pallas_bell
+
+            y = pallas_bell.bell_spmm_pallas(A, B)
+            if y is not None:
+                return y
+        return ref.bell_spmm(A, B)
     if isinstance(A, DIA):
         return ref.dia_spmm(A, B)
     if isinstance(A, CSR):

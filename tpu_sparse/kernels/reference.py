@@ -101,6 +101,30 @@ def dia_spmm(A: DIA, B: jax.Array) -> jax.Array:
     return y
 
 
+def bell_spmv(A, x: jax.Array) -> jax.Array:
+    """Block-ELL SpMV: fully regular — per block row, L dense (bs,bs)
+    blocks times gathered x chunks."""
+    bs = A.blocksize
+    xb = x.reshape(-1, bs)  # (n_block_cols, bs)
+    gathered = xb[A.indices]  # (nbr, L, bs)
+    prods = jnp.einsum(
+        "rlij,rlj->ri", A.blocks, gathered,
+        preferred_element_type=jnp.result_type(A.blocks.dtype, x.dtype),
+    )
+    return prods.reshape(-1)
+
+
+def bell_spmm(A, B: jax.Array) -> jax.Array:
+    bs = A.blocksize
+    Bb = B.reshape(-1, bs, B.shape[1])
+    gathered = Bb[A.indices]  # (nbr, L, bs, k)
+    prods = jnp.einsum(
+        "rlij,rljk->rik", A.blocks, gathered,
+        preferred_element_type=jnp.result_type(A.blocks.dtype, B.dtype),
+    )
+    return prods.reshape(A.shape[0], B.shape[1])
+
+
 def bsr_spmm(A: BSR, B: jax.Array) -> jax.Array:
     bs = A.blocksize
     k = B.shape[1]

@@ -80,6 +80,16 @@ def _check_tree_compat(x0, b):
             )
 
 
+
+def _final_check_relax(dtype) -> float:
+    """Residual-recheck relaxation: the convergence loop stops on the
+    recurrence residual; in 32-bit arithmetic the recomputed true residual
+    drifts slightly above it. The reference relaxes its final check 10x for
+    exactly this reason (torch_sparse_linalg.py:765-771, GPU instability
+    note); we apply that only to 32-bit dtypes and keep f64 strict."""
+    return 10.0 if jnp.finfo(dtype).bits <= 32 else 1.0
+
+
 # ---------------------------------------------------------------------------
 # CG
 # ---------------------------------------------------------------------------
@@ -156,7 +166,8 @@ def cg_full(A: Operator, b: Any, x0: Optional[Any] = None, *, tol: float = 1e-5,
 
     res_norm = tree_norm(M_fn(tree_sub(b, A_fn(x))))
     b_norm = jnp.sqrt(bs)
-    thresh = jnp.maximum(tol * b_norm, atol)
+    thresh = jnp.maximum(tol * b_norm, atol) * _final_check_relax(
+        _real_dtype(_float_dtype(b)))
     failed = (~jnp.isfinite(tree_norm(x))) | (~jnp.isfinite(res_norm)) \
         | (res_norm > thresh)
     info = jnp.where(failed, -1, 0).astype(jnp.int32)
@@ -260,7 +271,8 @@ def bicgstab_full(A: Operator, b: Any, x0: Optional[Any] = None, *,
 
     res_norm = tree_norm(M_fn(tree_sub(b, A_fn(x))))
     b_norm = jnp.sqrt(bs)
-    thresh = jnp.maximum(tol * b_norm, atol)
+    thresh = jnp.maximum(tol * b_norm, atol) * _final_check_relax(
+        _real_dtype(_float_dtype(b)))
     failed = (~jnp.isfinite(tree_norm(x))) | (~jnp.isfinite(res_norm)) \
         | (res_norm > thresh)
     info = jnp.where(k < 0, k, jnp.where(failed, -1, 0)).astype(jnp.int32)
@@ -611,7 +623,8 @@ def gmres_full(A: Operator, b: Any, x0: Optional[Any] = None, *,
                         cycle_fn)
 
     res_norm = tree_norm(M_fn(tree_sub(b, A_fn(x))))
+    relaxed_atol = atol_ * _final_check_relax(_real_dtype(_float_dtype(b)))
     failed = (~jnp.isfinite(tree_norm(x))) | (~jnp.isfinite(res_norm)) \
-        | (res_norm > atol_)
+        | (res_norm > relaxed_atol)
     info = jnp.where(failed, -1, 0).astype(jnp.int32)
     return x, info, k, res_norm

@@ -10,10 +10,11 @@ from tpu_sparse.sparse.convert import (
     to_csr,
 )
 from tpu_sparse.sparse import generators
+from tpu_sparse.sparse.bell import BELL, bsr_to_bell
 
 __all__ = [
-    "BSR", "COO", "CSR", "DIA", "is_sparse",
-    "coo_to_csr", "csr_from_arrays", "csr_to_bsr", "csr_to_dia",
-    "dense_to_coo", "dense_to_csr", "dia_from_offsets", "to_csr",
-    "generators",
+    "BELL", "BSR", "COO", "CSR", "DIA", "is_sparse",
+    "bsr_to_bell", "coo_to_csr", "csr_from_arrays", "csr_to_bsr",
+    "csr_to_dia", "dense_to_coo", "dense_to_csr", "dia_from_offsets",
+    "to_csr", "generators",
 ]

@@ -357,8 +357,8 @@ class BSR:
         )
 
 
-SPARSE_TYPES = (COO, CSR, DIA, BSR)
+SPARSE_TYPES = [COO, CSR, DIA, BSR]  # extended by e.g. sparse.bell.BELL
 
 
 def is_sparse(A: Any) -> bool:
-    return isinstance(A, SPARSE_TYPES)
+    return isinstance(A, tuple(SPARSE_TYPES))
