@@ -273,6 +273,53 @@ class LDCSolver:
         vc = 0.5 * (self.v[:-1, 1:-1] + self.v[1:, 1:-1])
         return np.asarray(jnp.sqrt(uc**2 + vc**2))
 
+    def save_plot(self, path: str) -> str:
+        """Velocity-magnitude contour + streamlines PNG (reference
+        ldc_solver_common.py:255-297)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        nx, ny = self.config.nx, self.config.ny
+        xc = (np.arange(nx) + 0.5) * self.dx
+        yc = (np.arange(ny) + 0.5) * self.dy
+        uc = np.asarray(0.5 * (self.u[1:-1, :-1] + self.u[1:-1, 1:]))
+        vc = np.asarray(0.5 * (self.v[:-1, 1:-1] + self.v[1:, 1:-1]))
+        mag = np.sqrt(uc**2 + vc**2)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        cs = ax.contourf(xc, yc, mag, levels=24)
+        fig.colorbar(cs, ax=ax, label="|u|")
+        ax.streamplot(xc, yc, uc, vc, color="w", density=1.2, linewidth=0.6)
+        ax.set_title(f"Lid-driven cavity  Re={self.config.Re:g}  "
+                     f"{nx}x{ny}  ({self.config.solver}/"
+                     f"{self.config.precond})")
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        ax.set_aspect("equal")
+        fig.tight_layout()
+        fig.savefig(path, dpi=130)
+        plt.close(fig)
+        return path
+
+    def save_state(self, path: str) -> str:
+        """Checkpoint the simulation state (no reference counterpart —
+        the reference runs start-to-finish only, SURVEY.md §5)."""
+        np.savez(path, u=np.asarray(self.u), v=np.asarray(self.v),
+                 p=np.asarray(self.p))
+        return path
+
+    def restore_state(self, path: str) -> None:
+        data = np.load(path)
+        if data["u"].shape != self.u.shape:
+            raise ValueError(
+                f"checkpoint grid {data['p'].shape} does not match solver "
+                f"grid {(self.config.ny, self.config.nx)}; construct the "
+                f"solver with the checkpoint's --nx")
+        self.u = jnp.asarray(data["u"])
+        self.v = jnp.asarray(data["v"])
+        self.p = jnp.asarray(data["p"])
+
 
 def run_solver_cli():
     """CLI mirroring the reference's run_solver_cli
@@ -291,6 +338,13 @@ def run_solver_cli():
     ap.add_argument("--f32", action="store_true",
                     help="run single precision (TPU-native speed; pressure "
                          "tolerance is relaxed to f32-reachable levels)")
+    ap.add_argument("--save-dir", default=None,
+                    help="write a velocity contour/streamline PNG here")
+    ap.add_argument("--no-plot", action="store_true")
+    ap.add_argument("--save-state", default=None,
+                    help="write final (u, v, p) state to this .npz")
+    ap.add_argument("--restore-state", default=None,
+                    help="resume from a saved .npz state")
     args = ap.parse_args()
     if args.quick:
         args.nx, args.steps = 32, 100
@@ -307,10 +361,20 @@ def run_solver_cli():
     cfg = LDCConfig(nx=args.nx, Re=args.Re, solver=method, precond=precond,
                     tol=tol)
     solver = LDCSolver(cfg)
+    if args.restore_state:
+        solver.restore_state(args.restore_state)
     stats = solver.run(args.steps, verbose=True)
     print(f"\n{stats['steps']} steps in {stats['elapsed_s']:.2f}s "
           f"({stats['steps_per_s']:.1f} steps/s), "
           f"final mass residual {stats['mass_residual']:.3e}")
+    if args.save_state:
+        print("state saved to", solver.save_state(args.save_state))
+    if args.save_dir and not args.no_plot:
+        os.makedirs(args.save_dir, exist_ok=True)
+        out = os.path.join(
+            args.save_dir,
+            f"ldc_Re{int(cfg.Re)}_{cfg.nx}x{cfg.ny}.png")
+        print("plot saved to", solver.save_plot(out))
 
 
 if __name__ == "__main__":
