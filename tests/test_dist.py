@@ -97,3 +97,17 @@ def test_distributed_cg_poisson3d(mesh):
     assert int(info) == 0
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_gmres(mesh):
+    from tpu_sparse.dist.solvers import distributed_gmres
+
+    A = generators.convection_diffusion(128)
+    rng = np.random.default_rng(5)
+    x_true = jnp.asarray(rng.standard_normal(128))
+    b = A @ x_true
+    x, info, iters, res = distributed_gmres(A, b, mesh=mesh, mode="halo",
+                                            tol=1e-10, restart=30)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-6, atol=1e-8)

@@ -142,3 +142,16 @@ def test_dia_spmv_rectangular():
     got = np.asarray(kref.dia_spmv(A, x))
     D = np.asarray(A.todense())
     np.testing.assert_allclose(got, D @ np.arange(5.0), atol=1e-14)
+
+
+def test_to_tpu_operator_selection(rng):
+    from tpu_sparse.sparse import BELL, to_tpu_operator
+    from tpu_sparse.sparse.convert import to_csr
+
+    # stencil -> DIA
+    assert isinstance(to_tpu_operator(to_csr(generators.poisson2d(8))), DIA)
+    # unstructured -> CSR
+    Au = random_dense(rng, 64, 64, density=0.05)
+    from tpu_sparse.sparse.containers import CSR as CSRt
+
+    assert isinstance(to_tpu_operator(dense_to_csr(Au)), CSRt)

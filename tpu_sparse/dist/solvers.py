@@ -90,3 +90,31 @@ def distributed_bicgstab(A: DIA, b: jax.Array,
 
     x, info, iters, res = _run(b_sh, x0_sh)
     return x[:n_orig], info, iters, res
+
+
+def distributed_gmres(A: DIA, b: jax.Array, x0: Optional[jax.Array] = None,
+                      *, mesh: Optional[Mesh] = None, mode: str = "gspmd",
+                      tol: float = 1e-6, atol: float = 0.0,
+                      restart: int = 20, maxiter: Optional[int] = None,
+                      M: Optional[Callable] = None,
+                      solve_method: str = "batched"):
+    """Distributed GMRES: the Krylov basis V is row-sharded like x (its
+    trailing basis axis stays replicated); Arnoldi projections all-reduce
+    at the jit level."""
+    from tpu_sparse.solvers.krylov import gmres_full
+
+    if mesh is None:
+        mesh = make_row_mesh()
+    n_orig = b.shape[0]
+    A_sh, matvec = distributed_matvec_op(A, mesh, mode)
+    b_sh = shard_vector(b, mesh)
+    x0_sh = shard_vector(x0, mesh) if x0 is not None else None
+
+    @jax.jit
+    def _run(bb, xx0):
+        return gmres_full(matvec, bb, xx0, tol=tol, atol=atol,
+                          restart=restart, maxiter=maxiter, M=M,
+                          solve_method=solve_method)
+
+    x, info, iters, res = _run(b_sh, x0_sh)
+    return x[:n_orig], info, iters, res

@@ -1,0 +1,63 @@
+"""Operator format optimization for TPU execution.
+
+`to_tpu_operator` inspects a general sparse matrix (host-side, once, at
+operator construction) and promotes it to the fastest TPU format:
+
+1. stencil-structured (few distinct diagonals) → DIA (Pallas fast path);
+2. block-structured (dense blocks fill well)   → BELL (MXU block kernel);
+3. otherwise                                   → CSR (XLA segment-sum).
+
+This is the user-facing answer to "what replaces cuSPARSE for arbitrary
+matrices": pick the structure the hardware can exploit, fall back to the
+general scatter-add path when there is none.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import numpy as np
+
+from tpu_sparse.sparse.bell import BELL, bsr_to_bell
+from tpu_sparse.sparse.containers import BSR, COO, CSR, DIA
+from tpu_sparse.sparse.convert import csr_to_bsr, csr_to_dia, to_csr
+
+
+def _block_fill_ratio(A: CSR, bs: int) -> float:
+    """nnz / (occupied blocks × bs²) — how dense the occupied blocks are."""
+    indptr = np.asarray(A.indptr)
+    indices = np.asarray(A.indices)
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    keys = (rows // bs).astype(np.int64) * ((A.shape[1] + bs - 1) // bs) \
+        + indices // bs
+    nblocks = np.unique(keys).size
+    return A.nnz / (nblocks * bs * bs)
+
+
+def to_tpu_operator(A, *, max_diags: int = 64, block_size: int = 8,
+                    min_block_fill: float = 0.35,
+                    verbose: bool = False) -> Union[DIA, BELL, CSR]:
+    """Promote ``A`` to the best TPU format (host-side analysis)."""
+    if isinstance(A, (DIA, BELL)):
+        return A
+    Ac = to_csr(A)
+    n, m = Ac.shape
+
+    dia = csr_to_dia(Ac, max_diags=max_diags)
+    if dia is not None:
+        if verbose:
+            print(f"[to_tpu_operator] DIA with {dia.ndiag} diagonals")
+        return dia
+
+    if n % block_size == 0 and m % block_size == 0:
+        fill = _block_fill_ratio(Ac, block_size)
+        if fill >= min_block_fill:
+            if verbose:
+                print(f"[to_tpu_operator] BELL bs={block_size} "
+                      f"fill={fill:.2f}")
+            return bsr_to_bell(csr_to_bsr(Ac, block_size))
+
+    if verbose:
+        print("[to_tpu_operator] CSR general path")
+    return Ac
