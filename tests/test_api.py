@@ -108,3 +108,29 @@ def test_result_dataclass(spd):
     assert isinstance(r, SolverResult)
     assert r.iterations is not None and r.iterations > 0
     assert isinstance(r.converged, bool)
+
+
+def test_dimension_mismatch_raises(spd):
+    A, _ = spd
+    s = SparseSolver()
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        s.solve(A, jnp.ones(10))
+
+
+def test_session_context(spd):
+    A, b = spd
+    s = SparseSolver()
+    with s.session() as sess:
+        x1, r1 = sess.solve(A, b, method="cg", tol=1e-10)
+        x2, r2 = sess.solve(A, 2 * b, method="cg", tol=1e-10)
+    assert r1.converged and r2.converged
+
+
+def test_residual_helpers(spd):
+    A, b = spd
+    from tpu_sparse.utils import compute_residual, relative_residual
+
+    x, _ = solve(A, b, method="cg", tol=1e-10)
+    assert float(relative_residual(A, x, b)) < 1e-6
+    r = compute_residual(A, x, b)
+    assert r.shape == b.shape

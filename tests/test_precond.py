@@ -116,3 +116,69 @@ def test_amg_precond_differentiable():
     x = np.linalg.solve(Ad, np.asarray(b))
     expected = np.linalg.solve(Ad.T, 2 * x)
     np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5, atol=1e-7)
+
+
+def test_chebyshev_smoother_amg():
+    """Chebyshev-smoothed AMG must converge at least as fast as L1-Jacobi
+    on Poisson (reduction-free smoother for TPU)."""
+    from tpu_sparse.precond import amg_preconditioner
+    from tpu_sparse.solvers import cg_full
+
+    A = generators.poisson2d(16)
+    n = A.shape[0]
+    b = jnp.asarray(np.random.default_rng(7).standard_normal(n))
+    M_j = amg_preconditioner(A, smoother="l1_jacobi")
+    M_c = amg_preconditioner(A, smoother="chebyshev", pre_sweeps=2,
+                             post_sweeps=2)
+    xj, ij, itj, _ = cg_full(A, b, tol=1e-8, M=M_j, maxiter=200)
+    xc, ic, itc, _ = cg_full(A, b, tol=1e-8, M=M_c, maxiter=200)
+    assert int(ij) == 0 and int(ic) == 0
+    assert int(itc) <= int(itj) + 5
+    res = float(jnp.linalg.norm(b - A @ xc) / jnp.linalg.norm(b))
+    assert res < 1e-6
+
+
+def test_ilu0_exact_for_tridiagonal():
+    """ILU(0) on a tridiagonal pattern IS the exact LU: M(v) = A^-1 v."""
+    from tpu_sparse.precond import ilu0_preconditioner
+
+    A = generators.tridiagonal(32)
+    M = ilu0_preconditioner(A)
+    v = jnp.asarray(np.random.default_rng(8).standard_normal(32))
+    x = M(v)
+    np.testing.assert_allclose(
+        np.asarray(A @ x), np.asarray(v), rtol=1e-10, atol=1e-11)
+
+
+def test_ilu0_accelerates_cg_poisson():
+    from tpu_sparse.precond import ilu0_preconditioner
+    from tpu_sparse.solvers import cg_full
+
+    A = generators.poisson2d(12)
+    n = A.shape[0]
+    b = jnp.asarray(np.random.default_rng(9).standard_normal(n))
+    M = ilu0_preconditioner(A)
+    xp_, ip_, itp, _ = cg_full(A, b, tol=1e-8, M=M)
+    xn_, in_, itn, _ = cg_full(A, b, tol=1e-8)
+    assert int(ip_) == 0
+    assert int(itp) < int(itn)
+    res = float(jnp.linalg.norm(b - A @ xp_) / jnp.linalg.norm(b))
+    assert res < 1e-6
+
+
+def test_chebyshev_and_neumann_preconditioners():
+    from tpu_sparse.precond import (
+        chebyshev_preconditioner,
+        neumann_preconditioner,
+    )
+    from tpu_sparse.solvers import cg_full
+
+    A = generators.poisson2d(12)
+    n = A.shape[0]
+    b = jnp.asarray(np.random.default_rng(10).standard_normal(n))
+    _, _, it_plain, _ = cg_full(A, b, tol=1e-8)
+    for M in (chebyshev_preconditioner(A, degree=4),
+              neumann_preconditioner(A, terms=3)):
+        x, info, iters, _ = cg_full(A, b, tol=1e-8, M=M)
+        assert int(info) == 0
+        assert int(iters) < int(it_plain)

@@ -15,6 +15,7 @@ backend names ('module_a'/'module_b'/'module_c') as aliases.
 from __future__ import annotations
 
 import warnings
+from contextlib import contextmanager
 from dataclasses import dataclass
 from enum import Enum
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
@@ -139,6 +140,11 @@ class SparseSolver:
         if precision not in ("full", "mixed"):
             raise ValueError(
                 f"unknown precision '{precision}'; use 'full' or 'mixed'")
+        if hasattr(A, "shape") and hasattr(b, "shape") and b.ndim >= 1 \
+                and b.shape[0] != A.shape[0]:
+            raise ValueError(
+                f"dimension mismatch: A is {A.shape}, b has length "
+                f"{b.shape[0]}")
         method = method or self.default_method
         backend = backend or self.default_backend
         sel_backend, sel_method = self._select_backend(backend, method)
@@ -231,6 +237,14 @@ class SparseSolver:
         return x, info, None, res
 
     # -- shortcuts (reference solver.py:455-508) ----------------------------
+
+    @contextmanager
+    def session(self):
+        """Batch-solving context (reference solver.py:102-106):
+        ``with solver.session() as s: s.solve(...)``. Backend probing is
+        done once up front; the context yields this solver."""
+        _ = self.available_backends
+        yield self
 
     def cg(self, A, b, **kw):
         return self.solve(A, b, method="cg", **kw)

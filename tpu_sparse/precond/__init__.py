@@ -11,9 +11,17 @@ from tpu_sparse.precond.amg import (
     amg_solve,
     v_cycle,
 )
+from tpu_sparse.precond.poly import (
+    chebyshev_preconditioner,
+    ilu0_factor,
+    ilu0_preconditioner,
+    neumann_preconditioner,
+)
 
 __all__ = [
     "diagonal", "jacobi_preconditioner", "l1_jacobi_diag",
     "AMGHierarchy", "AMGLevel", "amg_preconditioner", "amg_setup",
     "amg_solve", "v_cycle",
+    "chebyshev_preconditioner", "ilu0_factor", "ilu0_preconditioner",
+    "neumann_preconditioner",
 ]

@@ -202,13 +202,57 @@ def _smooth(A, dinv, x, b, sweeps: int, omega: float):
     return x
 
 
+def _chebyshev_smooth(A, dinv, x, b, degree: int, lam_max: float,
+                      lam_ratio: float = 8.0):
+    """Chebyshev polynomial smoother on the D⁻¹A spectrum interval
+    [lam_max/lam_ratio, lam_max].
+
+    TPU-friendly alternative to stationary Jacobi: the optimal-polynomial
+    recurrence needs **no inner products** (pure SpMV + axpy), smooths the
+    upper spectrum much faster per SpMV, and its coefficients are static.
+    AMGX offers the same trade (CHEBYSHEV smoother) beyond the reference's
+    configured JACOBI_L1.
+    """
+    lo = lam_max / lam_ratio
+    theta = 0.5 * (lam_max + lo)
+    delta = 0.5 * (lam_max - lo)
+    # standard three-term Chebyshev iteration on the preconditioned residual
+    r = b - spmv(A, x)
+    z = dinv * r
+    alpha = 1.0 / theta
+    d = alpha * z
+    x = x + d
+    rho_old = delta / theta  # sigma
+    rho = rho_old
+    for _ in range(degree - 1):
+        r = b - spmv(A, x)
+        z = dinv * r
+        rho_new = 1.0 / (2.0 * theta / delta - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * z
+        x = x + d
+        rho = rho_new
+    return x
+
+
 def v_cycle(hier: AMGHierarchy, b: jax.Array, *, pre_sweeps: int = 0,
-            post_sweeps: int = 3, omega: float = 1.0) -> jax.Array:
+            post_sweeps: int = 3, omega: float = 1.0,
+            smoother: str = "l1_jacobi") -> jax.Array:
     """One V-cycle applied to rhs b (x0 = 0). Jit-safe; static level count.
 
     Default sweep counts mirror the reference's AMGX config
     (0 pre / 3 post L1-Jacobi sweeps, torch_amgx.py:50-73).
+    smoother: 'l1_jacobi' (reference parity) or 'chebyshev' (reduction-free
+    polynomial smoother; 'sweeps' becomes the polynomial degree).
     """
+
+    def smooth(lvl, x, rhs, sweeps):
+        if sweeps <= 0:
+            return x
+        if smoother == "chebyshev":
+            # l1-scaled SPD operators have spec(D_l1^-1 A) ⊆ (0, 1]
+            return _chebyshev_smooth(lvl.A, lvl.dinv_l1, x, rhs,
+                                     degree=sweeps, lam_max=1.0)
+        return _smooth(lvl.A, lvl.dinv_l1, x, rhs, sweeps, omega)
 
     def descend(level_idx: int, rhs: jax.Array) -> jax.Array:
         if level_idx == len(hier.levels):
@@ -218,22 +262,24 @@ def v_cycle(hier: AMGHierarchy, b: jax.Array, *, pre_sweeps: int = 0,
             ).astype(rhs.dtype)
         lvl = hier.levels[level_idx]
         x = jnp.zeros_like(rhs)
-        x = _smooth(lvl.A, lvl.dinv_l1, x, rhs, pre_sweeps, omega)
+        x = smooth(lvl, x, rhs, pre_sweeps)
         r = rhs - spmv(lvl.A, x) if pre_sweeps > 0 else rhs
         rc = spmv(lvl.R, r)
         xc = descend(level_idx + 1, rc)
         x = x + spmv(lvl.P, xc)
-        x = _smooth(lvl.A, lvl.dinv_l1, x, rhs, post_sweeps, omega)
+        x = smooth(lvl, x, rhs, post_sweeps)
         return x
 
     return descend(0, b)
 
 
-def _make_vcycle_apply(pre: int, post: int, omega: float):
+def _make_vcycle_apply(pre: int, post: int, omega: float,
+                       smoother: str = "l1_jacobi"):
     # Sweep counts are Python loop bounds and must stay static; bind them in
     # a plain closure and keep only the hierarchy as a pytree Partial arg.
     def apply(hier: AMGHierarchy, v):
-        return v_cycle(hier, v, pre_sweeps=pre, post_sweeps=post, omega=omega)
+        return v_cycle(hier, v, pre_sweeps=pre, post_sweeps=post,
+                       omega=omega, smoother=smoother)
 
     return apply
 
@@ -241,7 +287,8 @@ def _make_vcycle_apply(pre: int, post: int, omega: float):
 def amg_preconditioner(A, *, theta: float = 0.08, target_size: int = 4,
                        max_levels: int = 50, coarse_size: int = 16,
                        pre_sweeps: int = 0, post_sweeps: int = 3,
-                       omega: float = 0.9) -> Partial:
+                       omega: float = 0.9,
+                       smoother: str = "l1_jacobi") -> Partial:
     """Build M ≈ A⁻¹ as one AMG V-cycle (usable as ``M=`` in any solver).
 
     Setup runs on host; the returned Partial is a pytree whose leaves are
@@ -249,7 +296,8 @@ def amg_preconditioner(A, *, theta: float = 0.08, target_size: int = 4,
     """
     hier = amg_setup(A, theta=theta, target_size=target_size,
                      max_levels=max_levels, coarse_size=coarse_size)
-    return Partial(_make_vcycle_apply(pre_sweeps, post_sweeps, omega), hier)
+    return Partial(
+        _make_vcycle_apply(pre_sweeps, post_sweeps, omega, smoother), hier)
 
 
 def amg_solve(A, b, x0=None, *, tol: float = 1e-6, atol: float = 0.0,
