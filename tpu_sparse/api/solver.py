@@ -14,6 +14,7 @@ backend names ('module_a'/'module_b'/'module_c') as aliases.
 
 from __future__ import annotations
 
+import functools
 import warnings
 from contextlib import contextmanager
 from dataclasses import dataclass
@@ -152,27 +153,29 @@ class SparseSolver:
             print(f"[SparseSolver] backend={sel_backend} method={sel_method}")
 
         if sel_backend == "krylov" and precision == "mixed":
-            x, info, iters, res = self._solve_krylov_mixed(
+            x, info, iters, res, rel = self._solve_krylov_mixed(
                 A, b, x0, sel_method, tol, atol, maxiter, M, restart,
                 solve_method)
         elif sel_backend == "krylov":
-            x, info, iters, res = self._solve_krylov(
+            x, info, iters, res, rel = self._solve_krylov(
                 A, b, x0, sel_method, tol, atol, maxiter, M, restart,
                 solve_method)
         elif sel_backend == "amg":
-            x, info, iters, res = self._solve_amg(
+            x, info, iters, res, rel = self._solve_amg(
                 A, b, x0, sel_method, tol, atol, maxiter, **kwargs)
         elif sel_backend == "direct":
-            x, info, iters, res = self._solve_direct(A, b, **kwargs)
+            x, info, iters, res, rel = self._solve_direct(A, b, **kwargs)
         else:
             raise ValueError(f"unknown backend {sel_backend}")
 
-        converged = bool(info == 0)
-        residual = self._relative_residual(A, b, x)
+        # One batched device→host transfer (each separate scalar fetch is a
+        # full round trip on remote TPU runtimes).
+        info_v, iters_v, rel_v = jax.device_get(
+            (info, 0 if iters is None else iters, rel))
         result = SolverResult(
-            x=x, converged=converged,
-            iterations=None if iters is None else int(iters),
-            residual=residual, backend=sel_backend, method=sel_method,
+            x=x, converged=bool(info_v == 0),
+            iterations=None if iters is None else int(iters_v),
+            residual=float(rel_v), backend=sel_backend, method=sel_method,
         )
         return x, result
 
@@ -186,55 +189,27 @@ class SparseSolver:
 
     def _solve_krylov(self, A, b, x0, method, tol, atol, maxiter, M,
                       restart, solve_method):
-        from tpu_sparse.autodiff import bicgstab_diff, cg_diff, gmres_diff
-
-        if method == "cg":
-            return cg_diff(A, b, x0, tol=tol, atol=atol, maxiter=maxiter, M=M)
-        if method == "bicgstab":
-            return bicgstab_diff(A, b, x0, tol=tol, atol=atol,
-                                 maxiter=maxiter, M=M)
-        if method == "gmres":
-            return gmres_diff(A, b, x0, tol=tol, atol=atol, restart=restart,
-                              maxiter=maxiter, M=M, solve_method=solve_method)
-        raise ValueError(f"unknown krylov method: {method}")
+        return _jitted_krylov(method, tol, atol, maxiter, restart,
+                              solve_method, False)(A, b, x0, _wrap_m(M))
 
     def _solve_krylov_mixed(self, A, b, x0, method, tol, atol, maxiter, M,
                             restart, solve_method):
-        from tpu_sparse.solvers import (
-            bicgstab_refined,
-            cg_refined,
-            gmres_refined,
-        )
-
-        if method == "cg":
-            return cg_refined(A, b, x0, tol=tol, atol=atol, maxiter=maxiter,
-                              M=M)
-        if method == "bicgstab":
-            return bicgstab_refined(A, b, x0, tol=tol, atol=atol,
-                                    maxiter=maxiter, M=M)
-        if method == "gmres":
-            return gmres_refined(A, b, x0, tol=tol, atol=atol,
-                                 restart=restart, maxiter=maxiter, M=M,
-                                 solve_method=solve_method)
-        raise ValueError(f"unknown krylov method: {method}")
+        return _jitted_krylov(method, tol, atol, maxiter, restart,
+                              solve_method, True)(A, b, x0, _wrap_m(M))
 
     def _solve_amg(self, A, b, x0, method, tol, atol, maxiter, **kwargs):
-        from tpu_sparse.precond.amg import amg_solve
+        from tpu_sparse.precond.amg import amg_preconditioner
 
-        x, info, iters, res = amg_solve(
-            A, b, x0=x0, tol=tol, atol=atol,
-            maxiter=maxiter if maxiter is not None else 100, **kwargs)
-        return x, info, iters, res
+        # Hierarchy setup is a host-side graph phase (cannot be jitted);
+        # the AMG-preconditioned CG solve itself runs as one jitted program.
+        M = amg_preconditioner(A, **kwargs)
+        maxiter = maxiter if maxiter is not None else 100
+        return _jitted_krylov("cg", tol, atol, maxiter, 20, "batched",
+                              False)(A, b, x0, M)
 
     def _solve_direct(self, A, b, **kwargs):
-        from tpu_sparse.direct import direct_solve_diff
-
-        x = direct_solve_diff(A, b, **kwargs)
-        res = tree_norm(tree_sub(b, as_matvec(A)(x)))
-        bn = tree_norm(b)
-        ok = jnp.isfinite(res) & (res <= 1e-6 * jnp.maximum(bn, 1.0))
-        info = jnp.where(ok, 0, -1)
-        return x, info, None, res
+        x, info, _, res, rel = _jitted_direct()(A, b)
+        return x, info, None, res, rel
 
     # -- shortcuts (reference solver.py:455-508) ----------------------------
 
@@ -260,6 +235,80 @@ class SparseSolver:
 
     def direct(self, A, b, **kw):
         return self.solve(A, b, method="direct", **kw)
+
+
+# -- jitted solver cache ------------------------------------------------------
+#
+# Without jit, solver calls execute op-by-op (hundreds of dispatches per
+# solve on a remote TPU runtime). Each (method, options) combination is
+# compiled once and cached; A/b/x0/M are traced pytree arguments.
+
+
+def _wrap_m(M):
+    from jax.tree_util import Partial
+
+    if M is not None and callable(M) and not is_sparse(M) \
+            and not isinstance(M, Partial) and not hasattr(M, "ndim"):
+        return Partial(M)
+    return M
+
+
+@functools.lru_cache(maxsize=256)
+def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
+                   solve_method: str, mixed: bool):
+    from tpu_sparse.autodiff import bicgstab_diff, cg_diff, gmres_diff
+    from tpu_sparse.solvers import (
+        bicgstab_refined,
+        cg_refined,
+        gmres_refined,
+    )
+
+    def run(A, b, x0, M):
+        out = _run_inner(A, b, x0, M)
+        # relative residual for SolverResult, inside the same program
+        rel = tree_norm(tree_sub(b, as_matvec(A)(out[0])))
+        bn = tree_norm(b)
+        return out + (rel / jnp.where(bn > 0, bn, 1.0),)
+
+    def _run_inner(A, b, x0, M):
+        if mixed:
+            if method == "cg":
+                return cg_refined(A, b, x0, tol=tol, atol=atol,
+                                  maxiter=maxiter, M=M)
+            if method == "bicgstab":
+                return bicgstab_refined(A, b, x0, tol=tol, atol=atol,
+                                        maxiter=maxiter, M=M)
+            if method == "gmres":
+                return gmres_refined(A, b, x0, tol=tol, atol=atol,
+                                     restart=restart, maxiter=maxiter,
+                                     M=M, solve_method=solve_method)
+        else:
+            if method == "cg":
+                return cg_diff(A, b, x0, tol=tol, atol=atol,
+                               maxiter=maxiter, M=M)
+            if method == "bicgstab":
+                return bicgstab_diff(A, b, x0, tol=tol, atol=atol,
+                                     maxiter=maxiter, M=M)
+            if method == "gmres":
+                return gmres_diff(A, b, x0, tol=tol, atol=atol,
+                                  restart=restart, maxiter=maxiter, M=M,
+                                  solve_method=solve_method)
+        raise ValueError(f"unknown krylov method: {method}")
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_direct():
+    from tpu_sparse.direct import direct_solve_full_diff
+
+    def run(A, b):
+        out = direct_solve_full_diff(A, b)
+        rel = tree_norm(tree_sub(b, as_matvec(A)(out[0])))
+        bn = tree_norm(b)
+        return out + (rel / jnp.where(bn > 0, bn, 1.0),)
+
+    return jax.jit(run)
 
 
 # -- module-level convenience API (reference solver.py:508-576) --------------

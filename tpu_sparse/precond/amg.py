@@ -286,13 +286,18 @@ def _make_vcycle_apply(pre: int, post: int, omega: float,
 
 def amg_preconditioner(A, *, theta: float = 0.08, target_size: int = 4,
                        max_levels: int = 50, coarse_size: int = 16,
-                       pre_sweeps: int = 0, post_sweeps: int = 3,
+                       pre_sweeps: int = 1, post_sweeps: int = 1,
                        omega: float = 0.9,
                        smoother: str = "l1_jacobi") -> Partial:
     """Build M ≈ A⁻¹ as one AMG V-cycle (usable as ``M=`` in any solver).
 
     Setup runs on host; the returned Partial is a pytree whose leaves are
     the device-resident hierarchy, so it rides through jit and custom_vjp.
+
+    Default V(1,1) with weighted Jacobi is a *symmetric* operator, which
+    PCG requires; the reference's AMGX 0-pre/3-post configuration
+    (torch_amgx.py:50-73) is nonsymmetric (fine for AMGX's own accelerated
+    cycles) and remains available via pre_sweeps=0, post_sweeps=3.
     """
     hier = amg_setup(A, theta=theta, target_size=target_size,
                      max_levels=max_levels, coarse_size=coarse_size)
@@ -303,8 +308,8 @@ def amg_preconditioner(A, *, theta: float = 0.08, target_size: int = 4,
 def amg_solve(A, b, x0=None, *, tol: float = 1e-6, atol: float = 0.0,
               maxiter: int = 100, theta: float = 0.08,
               target_size: int = 4, max_levels: int = 50,
-              coarse_size: int = 16, pre_sweeps: int = 0,
-              post_sweeps: int = 3, omega: float = 0.9,
+              coarse_size: int = 16, pre_sweeps: int = 1,
+              post_sweeps: int = 1, omega: float = 0.9,
               precond: Optional[Partial] = None):
     """AMG-preconditioned CG solve (AMGX 'AMG with CG acceleration'
     analogue). Returns (x, info, iterations, residual_norm)."""
