@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_sparse.precond import amg_preconditioner, jacobi_preconditioner
-from tpu_sparse.solvers import bicgstab_full, cg_full
+from tpu_sparse.solvers import bicgstab_full, bicgstab_refined, cg_full, cg_refined
 from tpu_sparse.sparse.containers import DIA
 from tpu_sparse.sparse.convert import dia_from_offsets
 
@@ -83,6 +83,7 @@ class LDCConfig:
     tol: float = 1e-8
     maxiter: int = 2000
     precond: str = "jacobi"     # 'none' | 'jacobi' | 'amg'
+    precision: str = "full"     # 'full' | 'mixed' (f32 inner pressure CG)
 
     def __post_init__(self):
         if self.ny is None:
@@ -130,6 +131,7 @@ class LDCSolver:
         A, M = self.A, self.M
         solver = cfg.solver
         tol, maxiter = cfg.tol, cfg.maxiter
+        mixed = cfg.precision == "mixed"
 
         def apply_bcs(u, v):
             # side walls: u = 0 at boundary faces
@@ -183,7 +185,13 @@ class LDCSolver:
 
         def solve_pressure(rhs, p_prev):
             x0 = p_prev.reshape(-1)
-            if solver == "bicgstab":
+            if mixed and solver == "bicgstab":
+                x, info, iters, res = bicgstab_refined(
+                    A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
+            elif mixed:
+                x, info, iters, res = cg_refined(
+                    A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
+            elif solver == "bicgstab":
                 x, info, iters, res = bicgstab_full(
                     A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
             else:
@@ -335,6 +343,10 @@ def run_solver_cli():
     ap.add_argument("--precond", default="jacobi",
                     choices=["none", "jacobi", "amg"])
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mixed-precision pressure solves (f32 inner CG + "
+                         "f64 refinement) — the fast TPU path at fp64 "
+                         "accuracy")
     ap.add_argument("--f32", action="store_true",
                     help="run single precision (TPU-native speed; pressure "
                          "tolerance is relaxed to f32-reachable levels)")
@@ -359,7 +371,7 @@ def run_solver_cli():
         method, precond = "cg", "amg"
     tol = 1e-8 if not args.f32 else 2e-5  # f32 CG stalls below ~1e-6 rel
     cfg = LDCConfig(nx=args.nx, Re=args.Re, solver=method, precond=precond,
-                    tol=tol)
+                    tol=tol, precision="mixed" if args.mixed else "full")
     solver = LDCSolver(cfg)
     if args.restore_state:
         solver.restore_state(args.restore_state)

@@ -74,7 +74,10 @@ def _dia_kernel(xp_hbm, data_ref, y_ref, xa, xb, sems, *, offsets, w, C, W,
         acc = None
         for d, o in enumerate(offsets):
             seg = buf[w + o : w + o + C]  # static shift slices
-            term = data_ref[d, :] * seg
+            row = data_ref[d, :]
+            if row.dtype != seg.dtype:
+                row = row.astype(seg.dtype)
+            term = row * seg
             acc = term if acc is None else acc + term
         y_ref[:] = acc
 

@@ -273,10 +273,16 @@ def v_cycle(hier: AMGHierarchy, b: jax.Array, *, pre_sweeps: int = 0,
     return descend(0, b)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _make_vcycle_apply(pre: int, post: int, omega: float,
                        smoother: str = "l1_jacobi"):
     # Sweep counts are Python loop bounds and must stay static; bind them in
     # a plain closure and keep only the hierarchy as a pytree Partial arg.
+    # lru_cache keeps the function object stable across calls so jitted
+    # consumers get cache hits instead of recompiling per solve.
     def apply(hier: AMGHierarchy, v):
         return v_cycle(hier, v, pre_sweeps=pre, post_sweeps=post,
                        omega=omega, smoother=smoother)

@@ -164,7 +164,10 @@ def cg_full(A: Operator, b: Any, x0: Optional[Any] = None, *, tol: float = 1e-5,
 
     x, k = _cg_loop(A_fn, M_fn, b, x0, atol2, maxiter, precond_identity)
 
-    res_norm = tree_norm(M_fn(tree_sub(b, A_fn(x))))
+    # Unpreconditioned residual: the loop's stopping rule uses <r, r>
+    # without M, and a strong M (e.g. AMG, ~A^-1) can inflate ||M r|| by
+    # 1/lambda_min and spuriously flag converged solves.
+    res_norm = tree_norm(tree_sub(b, A_fn(x)))
     b_norm = jnp.sqrt(bs)
     thresh = jnp.maximum(tol * b_norm, atol) * _final_check_relax(
         _real_dtype(_float_dtype(b)))
@@ -269,7 +272,10 @@ def bicgstab_full(A: Operator, b: Any, x0: Optional[Any] = None, *,
 
     x, k = _bicgstab_loop(A_fn, M_fn, b, x0, atol2, maxiter)
 
-    res_norm = tree_norm(M_fn(tree_sub(b, A_fn(x))))
+    # Unpreconditioned residual: the loop's stopping rule uses <r, r>
+    # without M, and a strong M (e.g. AMG, ~A^-1) can inflate ||M r|| by
+    # 1/lambda_min and spuriously flag converged solves.
+    res_norm = tree_norm(tree_sub(b, A_fn(x)))
     b_norm = jnp.sqrt(bs)
     thresh = jnp.maximum(tol * b_norm, atol) * _final_check_relax(
         _real_dtype(_float_dtype(b)))

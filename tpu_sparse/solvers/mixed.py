@@ -81,7 +81,17 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
     A32 = _cast_operator(A, inner_dtype)
     M32 = None
     if M is not None:
-        M32 = _cast_operator(M, inner_dtype) if is_sparse(M) else M
+        if is_sparse(M):
+            M32 = _cast_operator(M, inner_dtype)
+        else:
+            # Partial/pytree preconditioners: cast float leaves so the
+            # inner solve stays in inner_dtype (f64 leaves would silently
+            # upcast every inner iteration).
+            M32 = tree_map(
+                lambda leaf: leaf.astype(inner_dtype)
+                if hasattr(leaf, "dtype")
+                and jnp.issubdtype(leaf.dtype, jnp.floating) else leaf,
+                M)
     maxiter = _default_maxiter(b, maxiter)
 
     b_norm = tree_norm(b)
@@ -91,9 +101,10 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
     x = tree_zeros_like(b) if x0 is None else x0
     res_norm = tree_norm(tree_sub(b, A_fn(x)))
     inner_iters = jnp.array(0, jnp.int32)
+    stalled = jnp.array(False)
 
     for _ in range(max_sweeps):
-        done = (res_norm <= thresh) | (~jnp.isfinite(res_norm))
+        done = (res_norm <= thresh) | (~jnp.isfinite(res_norm)) | stalled
         r = tree_sub(b, A_fn(x))
         rhs32 = _cast_tree(
             tree_map(lambda leaf: jnp.where(done, 0.0, leaf), r),
@@ -101,10 +112,18 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
         d32, _, it, _ = inner_solver(
             A32, rhs32, None, tol=inner_tol, maxiter=maxiter, M=M32,
             **inner_kwargs)
-        x = tree_add(x, _cast_tree(d32, out_dtype))
-        res_norm = jnp.where(done, res_norm,
-                             tree_norm(tree_sub(b, A_fn(x))))
-        inner_iters = inner_iters + it
+        # Accept the sweep only if it actually reduced the true residual
+        # (an inner f32 breakdown can return a finite but useless update);
+        # a rejected sweep marks the solve stalled and stops refining.
+        d = _cast_tree(d32, out_dtype)
+        x_new = tree_add(x, d)
+        res_new = tree_norm(tree_sub(b, A_fn(x_new)))
+        accept = jnp.isfinite(res_new) & (res_new < res_norm) & ~done
+        x = tree_map(lambda a, bnew: jnp.where(accept, bnew, a), x, x_new)
+        res_norm = jnp.where(accept, res_new, res_norm)
+        stalled = stalled | (~accept & ~done)
+        # breakdown info codes are negative; don't sum them into the count
+        inner_iters = inner_iters + jnp.maximum(it, 0)
 
     failed = (~jnp.isfinite(res_norm)) | (res_norm > thresh)
     info = jnp.where(failed, -1, 0).astype(jnp.int32)
