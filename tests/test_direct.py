@@ -106,3 +106,27 @@ def test_direct_grad_A_values():
         dm = dat.copy(); dm[di, i] -= eps
         fd = (float(loss(jnp.asarray(dp))) - float(loss(jnp.asarray(dm)))) / (2 * eps)
         np.testing.assert_allclose(float(g[di, i]), fd, rtol=1e-4, atol=1e-6)
+
+
+def test_pcr_matches_thomas():
+    """Parallel cyclic reduction == Thomas on tridiagonal systems."""
+    from tpu_sparse.direct import pcr_solve
+
+    for n in (17, 64, 500):
+        A = generators.tridiagonal(n)
+        rng = np.random.default_rng(n)
+        x_true = jnp.asarray(rng.standard_normal(n))
+        b = A @ x_true
+        x_pcr = pcr_solve(A, b)
+        np.testing.assert_allclose(np.asarray(x_pcr), np.asarray(x_true),
+                                   rtol=1e-9, atol=1e-10)
+
+
+def test_pcr_nonsymmetric():
+    from tpu_sparse.direct import pcr_solve
+
+    A = generators.convection_diffusion(128)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(128))
+    x = pcr_solve(A, b)
+    x_np = np.linalg.solve(np.asarray(A.todense()), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), x_np, rtol=1e-9, atol=1e-10)

@@ -109,7 +109,10 @@ def _ims_bwd(method, opts, residuals, cotangents):
     v = solver(At, x_bar, None, M=M, **kw)[0]
     grad_b = v
     # Ā on the pattern: vjp of the values-linear matvec A ↦ A x at -v.
-    _, mv_vjp = jax.vjp(lambda a: spmv(a, x), A)
+    # Must use the XLA reference SpMV: Pallas kernels are not AD-traceable.
+    from tpu_sparse.kernels import spmv_reference
+
+    _, mv_vjp = jax.vjp(lambda a: spmv_reference(a, x), A)
     (grad_A,) = mv_vjp(tree_map(lambda u: -u, v))
     return (grad_A, grad_b, _zero_cotangent(x0), _zero_cotangent(M))
 

@@ -23,6 +23,7 @@ from tpu_sparse.direct.banded import (
     banded_lu_factor,
     banded_lu_solve,
     dense_solve,
+    pcr_solve,
     thomas_solve,
 )
 from tpu_sparse.sparse.containers import DIA, is_sparse
@@ -30,8 +31,14 @@ from tpu_sparse.utils.tree import tree_norm, tree_sub
 
 
 def banded_solve(A: DIA, b: jax.Array) -> jax.Array:
-    """Banded direct solve (Thomas for tridiagonal, LU otherwise)."""
+    """Banded direct solve.
+
+    Tridiagonal: parallel cyclic reduction on TPU (log n vectorized
+    passes), Thomas scan elsewhere. Wider bands: banded LU scan.
+    """
     if A.bandwidth <= 1:
+        if jax.default_backend() == "tpu" and A.shape[0] >= 64:
+            return pcr_solve(A, b)
         return thomas_solve(A, b)
     return banded_lu_solve(A, b)
 

@@ -61,6 +61,27 @@ def spmv(A, x: jax.Array) -> jax.Array:
     return jnp.dot(A, x, precision=jax.lax.Precision.HIGHEST)
 
 
+def spmv_reference(A, x: jax.Array) -> jax.Array:
+    """SpMV via the XLA reference kernels only (no Pallas).
+
+    Used where the op must be differentiable by JAX's AD (Pallas kernels
+    carry no JVP rule) — e.g. the pattern-gradient vjp in autodiff.
+    """
+    from tpu_sparse.sparse.bell import BELL
+
+    if isinstance(A, BELL):
+        return ref.bell_spmv(A, x)
+    if isinstance(A, DIA):
+        return ref.dia_spmv(A, x)
+    if isinstance(A, CSR):
+        return ref.csr_spmv(A, x)
+    if isinstance(A, COO):
+        return ref.coo_spmv(A, x)
+    if isinstance(A, BSR):
+        return ref.bsr_spmv(A, x)
+    return jnp.dot(A, x, precision=jax.lax.Precision.HIGHEST)
+
+
 def spmm(A, B: jax.Array) -> jax.Array:
     """Y = A @ B with dense B (multi-RHS)."""
     from tpu_sparse.sparse.bell import BELL
