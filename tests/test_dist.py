@@ -111,3 +111,14 @@ def test_distributed_gmres(mesh):
     assert int(info) == 0
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_distributed_cg_deterministic(mesh):
+    """Bit-identical results across repeated runs (fixed psum reduction
+    order — the determinism analogue of AMGX's determinism_flag,
+    SURVEY.md §5)."""
+    A = generators.poisson2d(16)
+    b = A @ jnp.asarray(np.random.default_rng(6).standard_normal(256))
+    x1, *_ = distributed_cg(A, b, mesh=mesh, mode="halo", tol=1e-10)
+    x2, *_ = distributed_cg(A, b, mesh=mesh, mode="halo", tol=1e-10)
+    assert np.array_equal(np.asarray(x1), np.asarray(x2))  # bitwise
