@@ -189,6 +189,17 @@ class SparseSolver:
 
     def _solve_krylov(self, A, b, x0, method, tol, atol, maxiter, M,
                       restart, solve_method):
+        # Pad-free extended-space fast path for unpreconditioned stencil
+        # solves on TPU (runs at the HBM roofline for narrow stencils).
+        from tpu_sparse.sparse.containers import DIA
+
+        if (M is None and isinstance(A, DIA)
+                and jax.default_backend() == "tpu"
+                and A.data.dtype in (jnp.float32, jnp.bfloat16)):
+            op = _cached_extended_operator(A)
+            if op is not None:
+                return _jitted_krylov_ext(method, tol, atol, maxiter,
+                                          restart, solve_method)(op, b, x0)
         return _jitted_krylov(method, tol, atol, maxiter, restart,
                               solve_method, False)(A, b, x0, _wrap_m(M))
 
@@ -201,8 +212,22 @@ class SparseSolver:
         from tpu_sparse.precond.amg import amg_preconditioner
 
         # Hierarchy setup is a host-side graph phase (cannot be jitted);
-        # the AMG-preconditioned CG solve itself runs as one jitted program.
-        M = amg_preconditioner(A, **kwargs)
+        # cache it per matrix object so repeat solves skip the setup, and
+        # run the AMG-preconditioned CG itself as one jitted program.
+        key = (id(A), tuple(sorted(kwargs.items())))
+        cached = getattr(self, "_amg_cache", None)
+        if cached is None:
+            cached = self._amg_cache = {}
+        entry = cached.get(key)
+        if entry is not None and entry[0]() is A:
+            M = entry[1]
+        else:
+            import weakref
+
+            M = amg_preconditioner(A, **kwargs)
+            if len(cached) > 8:
+                cached.clear()
+            cached[key] = (weakref.ref(A), M)
         maxiter = maxiter if maxiter is not None else 100
         return _jitted_krylov("cg", tol, atol, maxiter, 20, "batched",
                               False)(A, b, x0, M)
@@ -294,6 +319,58 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
                                   restart=restart, maxiter=maxiter, M=M,
                                   solve_method=solve_method)
         raise ValueError(f"unknown krylov method: {method}")
+
+    return jax.jit(run)
+
+
+_ext_op_cache: Dict[int, tuple] = {}
+
+
+def _cached_extended_operator(A):
+    """Extended-operator construction per matrix object (the eager data pad
+    costs a dispatch; repeat solves reuse it)."""
+    import weakref
+
+    from tpu_sparse.kernels.pallas_spmv import make_extended_operator
+
+    entry = _ext_op_cache.get(id(A))
+    if entry is not None and entry[0]() is A:
+        return entry[1]
+    op = make_extended_operator(A)
+    if len(_ext_op_cache) > 16:
+        _ext_op_cache.clear()
+    try:
+        _ext_op_cache[id(A)] = (weakref.ref(A), op)
+    except TypeError:
+        pass
+    return op
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_krylov_ext(method: str, tol: float, atol: float, maxiter,
+                       restart, solve_method: str):
+    """Krylov solve in halo-extended space (pad-free Pallas SpMV)."""
+    from tpu_sparse.solvers.krylov import bicgstab_full, cg_full, gmres_full
+
+    def run(op, b, x0):
+        b_ext = op.extend(b)
+        x0_ext = None if x0 is None else op.extend(x0)
+        if method == "cg":
+            out = cg_full(op, b_ext, x0_ext, tol=tol, atol=atol,
+                          maxiter=maxiter)
+        elif method == "bicgstab":
+            out = bicgstab_full(op, b_ext, x0_ext, tol=tol, atol=atol,
+                                maxiter=maxiter)
+        elif method == "gmres":
+            out = gmres_full(op, b_ext, x0_ext, tol=tol, atol=atol,
+                             restart=restart, maxiter=maxiter,
+                             solve_method=solve_method)
+        else:
+            raise ValueError(f"unknown krylov method: {method}")
+        x = op.extract(out[0])
+        bn = tree_norm(b)
+        rel = out[3] / jnp.where(bn > 0, bn, 1.0)
+        return (x,) + out[1:] + (rel,)
 
     return jax.jit(run)
 

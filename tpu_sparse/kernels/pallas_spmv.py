@@ -174,3 +174,198 @@ def dia_spmv_pallas(A: DIA, x: jax.Array):
 
 def bsr_spmv_pallas(A: BSR, x: jax.Array):
     return None
+
+
+# ---------------------------------------------------------------------------
+# Extended-space stencil operator: zero-copy SpMV
+# ---------------------------------------------------------------------------
+#
+# The plain kernel pads x and slices y every call (up to ~40% extra HBM
+# traffic for narrow stencils). The extended operator keeps every solver
+# vector in a halo-extended layout [0…0 | x | 0…0] whose margins stay zero
+# under all Krylov vector ops, so SpMV is pad-free and slice-free:
+# extend(b) once at solve entry, extract(x) once at exit.
+
+
+def _dia_ext_kernel(x_hbm, data_ref, y_ref, xa, xb, sems, *, offsets, H, C,
+                    W, grid, lo_chunks, hi_chunk):
+    lax_ = jax.lax
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+    j = pl.program_id(0)
+    is_margin = lax_.bitwise_or(lax_.lt(j, i32(lo_chunks)),
+                                lax_.ge(j, i32(hi_chunk)))
+    jp1 = lax_.add(j, i32(1))
+    parity = lax_.rem(j, i32(2))
+    parity_n = lax_.rem(jp1, i32(2))
+    has_next = lax_.lt(jp1, i32(grid))
+
+    E = grid * C
+
+    def x_dma(step, buf, slot):
+        # Interior windows [step*C - H, step*C + C + H) are in bounds by
+        # construction (H <= Wl); margin chunks clamp to a valid aligned
+        # window — their output is zeroed so the content is irrelevant.
+        start = lax_.sub(lax_.mul(step, i32(C)), i32(H))
+        start = lax_.clamp(i32(0), start, i32(E - W))
+        # C, H, E, W are all multiples of 1024 — tell Mosaic, whose
+        # divisibility analysis cannot see through the clamp.
+        start = pl.multiple_of(start, 1024)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, W)], buf, sems.at[i32(slot)])
+
+    @pl.when(lax_.eq(j, i32(0)))
+    def _():
+        x_dma(i32(0), xa, 0).start()
+
+    @pl.when(lax_.bitwise_and(has_next, lax_.eq(parity_n, i32(0))))
+    def _():
+        x_dma(jp1, xa, 0).start()
+
+    @pl.when(lax_.bitwise_and(has_next, lax_.eq(parity_n, i32(1))))
+    def _():
+        x_dma(jp1, xb, 1).start()
+
+    def compute(buf):
+        acc = None
+        for d, o in enumerate(offsets):
+            seg = buf[H + o : H + o + C]
+            row = data_ref[d, :]
+            if row.dtype != seg.dtype:
+                row = row.astype(seg.dtype)
+            term = row * seg
+            acc = term if acc is None else acc + term
+        y_ref[:] = jnp.where(is_margin, 0.0, acc)
+
+    @pl.when(lax_.eq(parity, i32(0)))
+    def _():
+        x_dma(j, xa, 0).wait()
+        compute(xa)
+
+    @pl.when(lax_.eq(parity, i32(1)))
+    def _():
+        x_dma(j, xb, 1).wait()
+        compute(xb)
+
+
+@jax.tree_util.register_pytree_node_class
+class ExtendedStencilOperator:
+    """Pad-free Pallas DIA SpMV on halo-extended vectors.
+
+    Layout: extended length E = Wl + n_pad + Wl with Wl = roundup(w, C);
+    the value region is [Wl, Wl + n). Margins are written to zero by the
+    kernel itself, so they remain zero through arbitrary axpy/scale ops.
+
+    Registered as a pytree (leaf: the padded diagonal data) so it can pass
+    through jit/vmap as a matrix-free operator argument.
+    """
+
+    def tree_flatten(self):
+        aux = (self.n, self.C, self.n_pad, self.Wl, self.H, self.W,
+               self.E, self.offsets, self.dtype)
+        return (self.data_p,), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.n, obj.C, obj.n_pad, obj.Wl, obj.H, obj.W, obj.E,
+         obj.offsets, obj.dtype) = aux
+        obj.data_p = children[0]
+        return obj
+
+    def __init__(self, A: DIA):
+        n, m = A.shape
+        assert n == m
+        offsets = A.offsets
+        w = max(max(abs(o) for o in offsets), 1)
+        ndiag = len(offsets)
+        max_c = max(1024, (8 * 1024 * 1024)
+                    // (2 * 4 * max(ndiag, 1)) // 1024 * 1024)
+        C = min(_round_up(n, 1024), max_c, 64 * 1024)
+        if n % 1024 == 0:
+            while C > 1024 and n % C != 0:
+                C -= 1024
+        self.n = n
+        self.C = C
+        self.n_pad = _round_up(n, C)
+        self.Wl = _round_up(w, C)
+        self.H = _round_up(w, 1024)
+        self.W = C + 2 * self.H
+        self.E = self.Wl + self.n_pad + self.Wl
+        self.offsets = offsets
+        self.dtype = A.data.dtype
+        # data padded once, on host, at operator construction
+        self.data_p = (A.data if self.n_pad == n else
+                       jnp.pad(A.data, ((0, 0), (0, self.n_pad - n))))
+
+    def extend(self, v: jax.Array) -> jax.Array:
+        return jnp.pad(v, (self.Wl, self.E - self.Wl - self.n))
+
+    def extract(self, v_ext: jax.Array) -> jax.Array:
+        return jax.lax.slice(v_ext, (self.Wl,), (self.Wl + self.n,))
+
+    def __call__(self, x_ext: jax.Array) -> jax.Array:
+        with jax.enable_x64(False):
+            return self._apply(x_ext)
+
+    def _apply(self, x_ext):
+        C, H, W = self.C, self.H, self.W
+        ndiag = len(self.offsets)
+        lo_chunks = self.Wl // C
+        grid = self.E // C
+        hi_chunk = lo_chunks + self.n_pad // C
+        kernel = functools.partial(
+            _dia_ext_kernel, offsets=self.offsets, H=H, C=C, W=W,
+            grid=grid, lo_chunks=lo_chunks, hi_chunk=hi_chunk)
+        dtype = jnp.result_type(self.data_p, x_ext)
+
+        def data_map(j):
+            # interior chunk j reads data block j - lo_chunks; margins are
+            # mapped to block 0 (their output is zeroed anyway).
+            idx = jax.lax.max(
+                jax.lax.sub(j, jnp.array(lo_chunks, jnp.int32)),
+                jnp.array(0, jnp.int32))
+            idx = jax.lax.min(
+                idx, jnp.array(self.n_pad // C - 1, jnp.int32))
+            return (0, idx)
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((self.E,), dtype),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((ndiag, C), data_map,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((C,), lambda j: (j,),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((W,), dtype),
+                pltpu.VMEM((W,), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ndiag * self.n,
+                bytes_accessed=(ndiag + 2) * self.n_pad * 4,
+                transcendentals=0,
+            ),
+        )(x_ext, self.data_p)
+
+
+def make_extended_operator(A: DIA):
+    """Build (matvec, extend, extract) for pad-free stencil solves.
+
+    Returns None when the extended kernel is unsupported (non-TPU, f64,
+    rectangular, or bandwidth ≥ n).
+    """
+    if not _HAS_PALLAS:
+        return None
+    n, m = A.shape
+    if n != m or not A.offsets:
+        return None
+    if A.data.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    w = max(abs(o) for o in A.offsets)
+    if w >= n:
+        return None
+    return ExtendedStencilOperator(A)
