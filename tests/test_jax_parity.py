@@ -87,6 +87,13 @@ def test_dia_fuzz_random_offsets():
         A = DIA(jnp.asarray(data), tuple(offsets), (n, n))
         x = rng.standard_normal(n)
         got = np.asarray(spmv(A, jnp.asarray(x)))
-        expected = np.asarray(A.todense()) @ x
-        np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-12,
+        # independent oracle straight from the raw arrays (not the
+        # library's todense, which could share a convention bug):
+        # convention: data[d, i] = A[i, i + offsets[d]]
+        dense = np.zeros((n, n))
+        for d, o in enumerate(offsets):
+            i0, i1 = max(0, -o), min(n, n - o)
+            rows = np.arange(i0, i1)
+            dense[rows, rows + o] = data[d, i0:i1]
+        np.testing.assert_allclose(got, dense @ x, rtol=1e-10, atol=1e-12,
                                    err_msg=f"trial {trial} offsets {offsets}")
