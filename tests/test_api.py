@@ -134,3 +134,13 @@ def test_residual_helpers(spd):
     assert float(relative_residual(A, x, b)) < 1e-6
     r = compute_residual(A, x, b)
     assert r.shape == b.shape
+
+
+def test_callable_operator_through_router(spd):
+    """Matrix-free callables must work through solve() (router wraps them
+    for jit)."""
+    A, b = spd
+
+    x, r = solve(lambda v: A @ v, b, method="cg", tol=1e-10)
+    assert r.converged
+    assert r.residual < 1e-6

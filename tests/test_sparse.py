@@ -155,3 +155,20 @@ def test_to_tpu_operator_selection(rng):
     from tpu_sparse.sparse.containers import CSR as CSRt
 
     assert isinstance(to_tpu_operator(dense_to_csr(Au)), CSRt)
+
+
+def test_duplicate_entries_sum_in_all_conversions(rng):
+    """Duplicate COO entries must sum through every conversion path."""
+    from tpu_sparse.sparse.containers import COO
+    from tpu_sparse.sparse import coo_to_csr, csr_to_dia, csr_to_bsr
+
+    A = COO(jnp.asarray([1.0, 2.0, 5.0]),
+            jnp.asarray([0, 0, 3], dtype=jnp.int32),
+            jnp.asarray([0, 0, 2], dtype=jnp.int32), (8, 8))
+    dense = np.asarray(A.todense())
+    assert dense[0, 0] == 3.0
+    Acsr = coo_to_csr(A)
+    Adia = csr_to_dia(Acsr)
+    np.testing.assert_allclose(np.asarray(Adia.todense()), dense)
+    Absr = csr_to_bsr(Acsr, 4)
+    np.testing.assert_allclose(np.asarray(Absr.todense()), dense)

@@ -195,13 +195,16 @@ class SparseSolver:
 
         if (M is None and isinstance(A, DIA)
                 and jax.default_backend() == "tpu"
-                and A.data.dtype in (jnp.float32, jnp.bfloat16)):
+                and A.data.dtype in (jnp.float32, jnp.bfloat16)
+                and getattr(b, "dtype", None)
+                in (jnp.float32, jnp.bfloat16)):
             op = _cached_extended_operator(A)
             if op is not None:
                 return _jitted_krylov_ext(method, tol, atol, maxiter,
                                           restart, solve_method)(op, b, x0)
         return _jitted_krylov(method, tol, atol, maxiter, restart,
-                              solve_method, False)(A, b, x0, _wrap_m(M))
+                              solve_method, False)(_wrap_m(A), b, x0,
+                                                   _wrap_m(M))
 
     def _solve_krylov_mixed(self, A, b, x0, method, tol, atol, maxiter, M,
                             restart, solve_method):
@@ -269,13 +272,15 @@ class SparseSolver:
 # compiled once and cached; A/b/x0/M are traced pytree arguments.
 
 
-def _wrap_m(M):
+def _wrap_m(op):
+    """Wrap a plain-callable operator (A or M) in Partial so it can ride
+    through jit as a (zero-leaf) pytree argument."""
     from jax.tree_util import Partial
 
-    if M is not None and callable(M) and not is_sparse(M) \
-            and not isinstance(M, Partial) and not hasattr(M, "ndim"):
-        return Partial(M)
-    return M
+    if op is not None and callable(op) and not is_sparse(op) \
+            and not isinstance(op, Partial) and not hasattr(op, "ndim"):
+        return Partial(op)
+    return op
 
 
 @functools.lru_cache(maxsize=256)

@@ -105,8 +105,13 @@ def _ims_bwd(method, opts, residuals, cotangents):
     solver = _SOLVERS[method]
     kw = dict(opts)
     At = _adjoint_matrix(A, _SYMMETRIC[method])
-    # One adjoint solve (reference :1238-1248); reuse the same solver/M.
-    v = solver(At, x_bar, None, M=M, **kw)[0]
+    # One adjoint solve (reference :1238-1248). The forward preconditioner
+    # is reused only for symmetric methods (CG assumes hermitian M anyway);
+    # for nonsymmetric methods M would need to be Mᴴ, which we cannot form
+    # for an arbitrary operator — solving unpreconditioned is slower but
+    # correct.
+    M_adj = M if _SYMMETRIC[method] else None
+    v = solver(At, x_bar, None, M=M_adj, **kw)[0]
     grad_b = v
     # Ā on the pattern: vjp of the values-linear matvec A ↦ A x at -v.
     # Must use the XLA reference SpMV: Pallas kernels are not AD-traceable.
@@ -142,7 +147,10 @@ def _callable_solve(method: str, opts: tuple, A_fn: Callable, b, x0, M):
     b_norm = tree_norm(b)
     tol = kw.get("tol", 1e-5)
     atol = kw.get("atol", 0.0)
-    thresh = jnp.maximum(tol * b_norm, atol)
+    from tpu_sparse.solvers.krylov import _final_check_relax, _float_dtype
+
+    relax = _final_check_relax(jnp.finfo(_float_dtype(b)).dtype)
+    thresh = jnp.maximum(tol * b_norm, atol) * relax
     failed = (~jnp.isfinite(tree_norm(x))) | (~jnp.isfinite(res)) | (res > thresh)
     info = jnp.where(failed, -1, 0).astype(jnp.int32)
     return x, info, jnp.array(-1, jnp.int32), res

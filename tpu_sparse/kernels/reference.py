@@ -54,7 +54,6 @@ def dia_spmv_padded(A: DIA, x: jax.Array) -> jax.Array:
     if not A.offsets:
         return jnp.zeros(n, dtype=x.dtype)
     lo = max(0, -min(A.offsets))
-    hi = max(0, max(A.offsets) + n - m) if m < n + max(A.offsets) else 0
     hi = max(0, n - 1 + max(A.offsets) - (m - 1))
     xp = jnp.pad(x, (lo, hi))
     y = jnp.zeros(n, dtype=jnp.result_type(A.data.dtype, x.dtype))

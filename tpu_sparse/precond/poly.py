@@ -17,6 +17,7 @@ Completes the preconditioner family from SURVEY.md §7 stage 6
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -28,47 +29,35 @@ from tpu_sparse.kernels import spmv
 from tpu_sparse.precond.jacobi import l1_jacobi_diag
 from tpu_sparse.sparse.containers import DIA
 
+# The factories below are lru_cached so repeated preconditioner
+# construction returns the SAME function object — jit caches key on the
+# Partial's function identity, and a fresh closure per call would force a
+# recompile for every solve (same fix as amg._make_vcycle_apply).
 
-def _cheb_apply(A, dinv, degree: int, lam_ratio: float, v):
-    """x ≈ A⁻¹ v via Chebyshev iteration from x0=0 on D_l1-scaled A."""
-    lam_max = 1.0
-    lo = lam_max / lam_ratio
-    theta = 0.5 * (lam_max + lo)
-    delta = 0.5 * (lam_max - lo)
-    x = jnp.zeros_like(v)
-    r = v
-    z = dinv * r
-    d = z / theta
-    x = x + d
-    rho = delta / theta
-    for _ in range(degree - 1):
-        r = v - spmv(A, x)
-        z = dinv * r
-        rho_new = 1.0 / (2.0 * theta / delta - rho)
-        d = rho_new * rho * d + (2.0 * rho_new / delta) * z
-        x = x + d
-        rho = rho_new
-    return x
+
+@functools.lru_cache(maxsize=64)
+def _make_cheb_apply(degree: int, lam_ratio: float):
+    from tpu_sparse.precond.amg import _chebyshev_smooth
+
+    def apply(A_, dinv_, v):
+        # shared three-term recurrence from the AMG Chebyshev smoother,
+        # started from x0 = 0
+        return _chebyshev_smooth(A_, dinv_, jnp.zeros_like(v), v,
+                                 degree=degree, lam_max=1.0,
+                                 lam_ratio=lam_ratio)
+
+    return apply
 
 
 def chebyshev_preconditioner(A, degree: int = 4,
                              lam_ratio: float = 30.0) -> Partial:
     """M ≈ A⁻¹ as a degree-``degree`` Chebyshev polynomial in A (SPD)."""
     dinv = 1.0 / l1_jacobi_diag(A)
-
-    def apply(A_, dinv_, v):
-        return _cheb_apply(A_, dinv_, degree, lam_ratio, v)
-
-    return Partial(apply, A, dinv)
+    return Partial(_make_cheb_apply(degree, float(lam_ratio)), A, dinv)
 
 
-def neumann_preconditioner(A, terms: int = 3) -> Partial:
-    """M = Σ_{k<terms} (I - D⁻¹A)ᵏ D⁻¹ (truncated Neumann series)."""
-    from tpu_sparse.precond.jacobi import diagonal
-
-    d = diagonal(A)
-    dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 1.0)
-
+@functools.lru_cache(maxsize=64)
+def _make_neumann_apply(terms: int):
     def apply(A_, dinv_, v):
         x = dinv_ * v
         acc = x
@@ -77,7 +66,16 @@ def neumann_preconditioner(A, terms: int = 3) -> Partial:
             acc = acc + x
         return acc
 
-    return Partial(apply, A, dinv)
+    return apply
+
+
+def neumann_preconditioner(A, terms: int = 3) -> Partial:
+    """M = Σ_{k<terms} (I - D⁻¹A)ᵏ D⁻¹ (truncated Neumann series)."""
+    from tpu_sparse.precond.jacobi import diagonal
+
+    d = diagonal(A)
+    dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 1.0)
+    return Partial(_make_neumann_apply(terms), A, dinv)
 
 
 def ilu0_factor(A: DIA) -> Tuple[DIA, DIA]:
@@ -183,11 +181,11 @@ def _banded_backward_sub(U: DIA, y):
     return x
 
 
+def _ilu0_apply(L_, U_, v):
+    return _banded_backward_sub(U_, _banded_forward_sub(L_, v))
+
+
 def ilu0_preconditioner(A: DIA) -> Partial:
     """M ≈ A⁻¹ from ILU(0) factors (stencil matrices)."""
     L, U = ilu0_factor(A)
-
-    def apply(L_, U_, v):
-        return _banded_backward_sub(U_, _banded_forward_sub(L_, v))
-
-    return Partial(apply, L, U)
+    return Partial(_ilu0_apply, L, U)

@@ -48,13 +48,14 @@ def _cast_tree(tree, dtype):
     return tree_map(lambda leaf: leaf.astype(dtype), tree)
 
 
-def _cast_operator(A, dtype):
+def _cast_operator(A, dtype, outer_dtype=jnp.float64):
     if is_sparse(A):
         return A.with_data(A.data.astype(dtype))
     if callable(A) and not hasattr(A, "ndim"):
-        # matrix-free: wrap with casts around the user's operator
-        def op(x32):
-            return _cast_tree(A(_cast_tree(x32, jnp.float64)), dtype)
+        # matrix-free: wrap with casts around the user's operator, which
+        # expects operands in the OUTER system's dtype (not always f64)
+        def op(x_inner):
+            return _cast_tree(A(_cast_tree(x_inner, outer_dtype)), dtype)
 
         return op
     return A.astype(dtype)
@@ -78,7 +79,8 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
     Returns (x, info, total_inner_iterations, residual_norm) in b's dtype.
     """
     A_fn = as_matvec(A)
-    A32 = _cast_operator(A, inner_dtype)
+    outer_dtype = _first_dtype(b)
+    A32 = _cast_operator(A, inner_dtype, outer_dtype)
     M32 = None
     if M is not None:
         if is_sparse(M):

@@ -84,9 +84,12 @@ class COO:
         return out.at[self.row, self.col].add(self.data)
 
     def tocsr(self) -> "CSR":
-        """Jit-safe COO→CSR via a device sort (static shapes)."""
-        order = jnp.argsort(
-            self.row.astype(jnp.int64) * self.shape[1] + self.col)
+        """Jit-safe COO→CSR via a device sort (static shapes).
+
+        lexsort instead of a row*ncols+col key: the multiplied key silently
+        truncates to int32 when x64 is off and overflows for n*m > 2^31,
+        corrupting the CSR."""
+        order = jnp.lexsort((self.col, self.row))
         row = self.row[order]
         indptr = jnp.searchsorted(
             row, jnp.arange(self.shape[0] + 1, dtype=row.dtype)

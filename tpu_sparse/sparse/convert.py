@@ -93,7 +93,9 @@ def csr_to_dia(A: CSR, max_diags: Optional[int] = None) -> Optional[DIA]:
         return None
     dia_data = np.zeros((uniq.size, n), dtype=data.dtype)
     pos = np.searchsorted(uniq, offs)
-    dia_data[pos, rows] = data
+    # add.at, not fancy assignment: duplicate (row, col) entries must sum,
+    # matching the containers' materialization contract.
+    np.add.at(dia_data, (pos, rows), data)
     return DIA(jnp.asarray(dia_data), tuple(int(o) for o in uniq), (n, m))
 
 
@@ -118,7 +120,7 @@ def csr_to_bsr(A: CSR, blocksize: int) -> BSR:
     uniq, inv = np.unique(keys, return_inverse=True)
     nblocks = uniq.size
     blocks = np.zeros((nblocks, bs, bs), dtype=data.dtype)
-    blocks[inv, rows % bs, indices % bs] = data
+    np.add.at(blocks, (inv, rows % bs, indices % bs), data)  # sum dups
     ubrow = (uniq // (m // bs)).astype(np.int32)
     ubcol = (uniq % (m // bs)).astype(np.int32)
     bindptr = np.zeros(n // bs + 1, dtype=np.int32)
