@@ -144,3 +144,14 @@ def test_callable_operator_through_router(spd):
     x, r = solve(lambda v: A @ v, b, method="cg", tol=1e-10)
     assert r.converged
     assert r.residual < 1e-6
+
+
+def test_fcg_through_router():
+    from tpu_sparse.precond import amg_preconditioner
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson2d(16)
+    b = A @ jnp.ones(256)
+    M = amg_preconditioner(A, pre_sweeps=0, post_sweeps=3)  # nonsymmetric
+    x, r = solve(A, b, method="fcg", tol=1e-8, M=M)
+    assert r.converged and r.residual < 1e-6

@@ -146,3 +146,28 @@ class TestGMRES:
         x, info = gmres(A, b, tol=1e-10, restart=30)
         assert int(info) == 0
         assert rel_residual(A, x, b) < 1e-6
+
+
+class TestFCG:
+    def test_fcg_with_nonsymmetric_preconditioner(self):
+        """FCG converges where plain CG stalls: AMG V(0,3) is a
+        nonsymmetric preconditioner."""
+        from tpu_sparse.precond import amg_preconditioner
+        from tpu_sparse.solvers import fcg_full
+
+        A = generators.tridiagonal(200)
+        b, _ = make_b(A)
+        M = amg_preconditioner(A, pre_sweeps=0, post_sweeps=3)
+        x, info, iters, res = fcg_full(A, b, tol=1e-8, M=M, maxiter=200)
+        assert int(info) == 0
+        assert rel_residual(A, x, b) < 1e-6
+
+    def test_fcg_matches_cg_unpreconditioned(self):
+        from tpu_sparse.solvers import fcg
+
+        A = generators.tridiagonal(64)
+        b, x_true = make_b(A)
+        x, info = fcg(A, b, tol=1e-10)
+        assert int(info) == 0
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                                   rtol=1e-6, atol=1e-8)

@@ -32,6 +32,7 @@ from tpu_sparse.utils.tree import tree_norm, tree_sub
 
 class SolverMethod(Enum):
     CG = "cg"
+    FCG = "fcg"
     BICGSTAB = "bicgstab"
     GMRES = "gmres"
     AMG = "amg"
@@ -193,7 +194,7 @@ class SparseSolver:
         # solves on TPU (runs at the HBM roofline for narrow stencils).
         from tpu_sparse.sparse.containers import DIA
 
-        if (M is None and isinstance(A, DIA)
+        if (method != "fcg" and M is None and isinstance(A, DIA)
                 and jax.default_backend() == "tpu"
                 and A.data.dtype in (jnp.float32, jnp.bfloat16)
                 and getattr(b, "dtype", None)
@@ -316,6 +317,11 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
             if method == "cg":
                 return cg_diff(A, b, x0, tol=tol, atol=atol,
                                maxiter=maxiter, M=M)
+            if method == "fcg":
+                from tpu_sparse.solvers import fcg_full
+
+                return fcg_full(A, b, x0, tol=tol, atol=atol,
+                                maxiter=maxiter, M=M)
             if method == "bicgstab":
                 return bicgstab_diff(A, b, x0, tol=tol, atol=atol,
                                      maxiter=maxiter, M=M)
