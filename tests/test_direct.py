@@ -130,3 +130,25 @@ def test_pcr_nonsymmetric():
     x = pcr_solve(A, b)
     x_np = np.linalg.solve(np.asarray(A.todense()), np.asarray(b))
     np.testing.assert_allclose(np.asarray(x), x_np, rtol=1e-9, atol=1e-10)
+
+
+def test_host_splu_large_sparse():
+    """General sparse systems beyond the densify limit go to the
+    host-assisted SuperLU path, inside jit, with adjoint gradients."""
+    from tpu_sparse.direct import direct_solve, direct_solve_full_diff
+    from tpu_sparse.sparse import generators
+
+    A = generators.random_csr(5000, 5000, density=0.001, seed=7)
+    rng = np.random.default_rng(7)
+    x_true = jnp.asarray(rng.standard_normal(5000))
+    b = A @ x_true
+    x = jax.jit(lambda a, rhs: direct_solve(a, rhs))(A, b)
+    rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+    assert rel < 1e-10
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-7, atol=1e-8)
+
+    g = jax.grad(lambda rhs: jnp.sum(
+        direct_solve_full_diff(A, rhs)[0] ** 2))(b)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0

@@ -237,6 +237,23 @@ class SparseSolver:
                               False)(A, b, x0, M)
 
     def _solve_direct(self, A, b, **kwargs):
+        from tpu_sparse import direct as _direct
+        from tpu_sparse.sparse.containers import DIA
+
+        wants_splu = (
+            is_sparse(A)
+            and not (isinstance(A, DIA)
+                     and A.bandwidth <= max(1, A.shape[0] // 4))
+            and A.shape[0] > _direct._DENSE_DIRECT_LIMIT)
+        if wants_splu and jax.default_backend() == "tpu":
+            # The axon TPU runtime rejects host callbacks inside compiled
+            # programs; run the SuperLU path eagerly instead of jitted.
+            x = _direct.host_splu_eager(A, b)
+            res = tree_norm(tree_sub(b, as_matvec(A)(x)))
+            bn = tree_norm(b)
+            rel = res / jnp.where(bn > 0, bn, 1.0)
+            info = jnp.where(jnp.isfinite(rel) & (rel <= 1e-8), 0, -1)
+            return x, info, None, res, rel
         x, info, _, res, rel = _jitted_direct()(A, b)
         return x, info, None, res, rel
 

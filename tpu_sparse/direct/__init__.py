@@ -43,10 +43,71 @@ def banded_solve(A: DIA, b: jax.Array) -> jax.Array:
     return banded_lu_solve(A, b)
 
 
+# Above this size, densifying a general sparse matrix is wasteful; the
+# solve is delegated to a host supernodal LU instead (SURVEY.md §7 stage 8:
+# "document general sparse LU as host-assisted").
+_DENSE_DIRECT_LIMIT = 4096
+
+
+def host_splu_solve(A, b: jax.Array) -> jax.Array:
+    """General sparse LU on host (scipy SuperLU) via jax.pure_callback.
+
+    The factorization is a data-dependent graph algorithm with no efficient
+    TPU mapping; running it host-side keeps the jit program intact (the
+    callback is a node in the compiled graph) at the cost of one
+    device↔host round trip per solve. Differentiable through the standard
+    adjoint wrapper (the backward pass issues a second host solve on Aᵀ).
+    """
+    from tpu_sparse.sparse.containers import COO, CSR
+
+    if isinstance(A, COO):
+        A = A.tocsr()
+    if not isinstance(A, CSR):
+        raise TypeError("host_splu_solve expects a CSR/COO matrix")
+    shape = A.shape
+
+    def cb(data, indices, indptr, bb):
+        import numpy as np
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spl
+
+        M = sp.csr_matrix((np.asarray(data), np.asarray(indices),
+                           np.asarray(indptr)), shape=shape)
+        out = spl.splu(M.tocsc()).solve(np.asarray(bb, dtype=np.float64))
+        return out.astype(bb.dtype)
+
+    return jax.pure_callback(
+        cb, jax.ShapeDtypeStruct(b.shape, b.dtype),
+        A.data, A.indices, A.indptr, b, vmap_method="sequential")
+
+
+def host_splu_eager(A, b: jax.Array) -> jax.Array:
+    """Host SuperLU solve without pure_callback, for runtimes that do not
+    support host callbacks inside compiled programs (e.g. the axon TPU
+    runtime). Must be called OUTSIDE jit; arrays round-trip via numpy."""
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    from tpu_sparse.sparse.convert import to_csr
+
+    Ac = to_csr(A)
+    M = sp.csr_matrix((np.asarray(Ac.data), np.asarray(Ac.indices),
+                       np.asarray(Ac.indptr)), shape=Ac.shape)
+    out = spl.splu(M.tocsc()).solve(np.asarray(b, dtype=np.float64))
+    return jnp.asarray(out.astype(np.asarray(b).dtype))
+
+
 def direct_solve(A, b: jax.Array) -> jax.Array:
     """Direct solve without autograd wiring."""
     if isinstance(A, DIA) and A.bandwidth <= max(1, A.shape[0] // 4):
         return banded_solve(A, b)
+    if is_sparse(A) and A.shape[0] > _DENSE_DIRECT_LIMIT:
+        from tpu_sparse.sparse.containers import COO, CSR
+
+        if not isinstance(A, (CSR, COO)):
+            A = A.tocoo()
+        return host_splu_solve(A, b)
     if is_sparse(A) or hasattr(A, "ndim"):
         return dense_solve(A, b)
     raise TypeError(

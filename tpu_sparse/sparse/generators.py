@@ -135,7 +135,7 @@ def random_csr(n: int, m: int, density: float = 0.01, seed: int = 0,
 
     A = coo_to_csr(COO(jnp.asarray(vals), jnp.asarray(row), jnp.asarray(col), (n, m)))
     if dominant and n == m:
-        dense = np.asarray(A.todense())
+        dense = np.array(A.todense())  # np.asarray of a jax array is RO
         dense[np.arange(n), np.arange(n)] += np.abs(dense).sum(axis=1) + 1.0
         from tpu_sparse.sparse.convert import dense_to_csr
 
