@@ -122,3 +122,29 @@ def test_distributed_cg_deterministic(mesh):
     x1, *_ = distributed_cg(A, b, mesh=mesh, mode="halo", tol=1e-10)
     x2, *_ = distributed_cg(A, b, mesh=mesh, mode="halo", tol=1e-10)
     assert np.array_equal(np.asarray(x1), np.asarray(x2))  # bitwise
+
+
+@pytest.mark.parametrize("mode", ["gspmd", "halo"])
+def test_distributed_amg_pcg(mesh, mode):
+    """AMG-preconditioned distributed CG: fine level row-sharded, the
+    hierarchy replicated; restriction/prolongation auto-collective."""
+    from tpu_sparse.precond import amg_preconditioner
+
+    A = generators.poisson2d(16)
+    b = A @ jnp.asarray(np.random.default_rng(7).standard_normal(256))
+    M = amg_preconditioner(A)
+    x, info, iters, res = distributed_cg(A, b, mesh=mesh, mode=mode,
+                                         tol=1e-8, M=M)
+    assert int(info) == 0
+    rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+    assert rel < 1e-6
+    assert int(iters) < 40  # multigrid actually accelerating
+
+
+def test_distributed_preconditioned_needs_divisible_n(mesh):
+    from tpu_sparse.precond import jacobi_preconditioner
+
+    A = generators.tridiagonal(100)  # 100 not divisible by 8
+    b = jnp.ones(100)
+    with pytest.raises(ValueError, match="divisible"):
+        distributed_cg(A, b, mesh=mesh, M=jacobi_preconditioner(A))

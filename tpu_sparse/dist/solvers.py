@@ -57,6 +57,11 @@ def distributed_cg(A: DIA, b: jax.Array, x0: Optional[jax.Array] = None, *,
     if mesh is None:
         mesh = make_row_mesh()
     n_orig = b.shape[0]
+    if M is not None and n_orig % mesh.devices.size != 0:
+        raise ValueError(
+            f"preconditioned distributed solves need n ({n_orig}) divisible "
+            f"by the mesh size ({mesh.devices.size}): the identity padding "
+            f"would not match the preconditioner's dimension")
     A_sh, matvec = distributed_matvec_op(A, mesh, mode)
     b_sh = shard_vector(b, mesh)
     x0_sh = shard_vector(x0, mesh) if x0 is not None else None
