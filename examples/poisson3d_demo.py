@@ -59,6 +59,9 @@ def main(argv=None):
         from tpu_sparse.dist import distributed_cg, make_row_mesh
 
         mesh = make_row_mesh()
+        # warm: compile + shard before timing (match the single-device path)
+        force(distributed_cg(A, b, mesh=mesh, mode="halo", tol=args.tol,
+                             maxiter=args.maxiter)[0])
         t0 = time.time()
         x, info, iters, res = distributed_cg(
             A, b, mesh=mesh, mode="halo", tol=args.tol,

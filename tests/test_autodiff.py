@@ -135,3 +135,19 @@ def test_grad_under_jit():
     assert np.all(np.isfinite(np.asarray(gd)))
     assert np.all(np.isfinite(np.asarray(gb)))
     assert float(jnp.abs(gb).max()) > 0
+
+
+def test_fcg_grad_b_fd():
+    """FCG adjoint gradients (finite-difference verified)."""
+    from tpu_sparse.autodiff import fcg_diff
+
+    n = 16
+    A = generators.tridiagonal(n)
+    b = jnp.asarray(np.random.default_rng(11).standard_normal(n))
+
+    def loss(bb):
+        return jnp.sum(fcg_diff(A, bb, tol=1e-12)[0] ** 2)
+
+    g = jax.grad(loss)(b)
+    g_fd = fd_grad(loss, b)
+    np.testing.assert_allclose(np.asarray(g), g_fd, rtol=1e-4, atol=1e-6)

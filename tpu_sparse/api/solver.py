@@ -238,21 +238,13 @@ class SparseSolver:
 
     def _solve_direct(self, A, b, **kwargs):
         from tpu_sparse import direct as _direct
-        from tpu_sparse.sparse.containers import DIA
 
-        wants_splu = (
-            is_sparse(A)
-            and not (isinstance(A, DIA)
-                     and A.bandwidth <= max(1, A.shape[0] // 4))
-            and A.shape[0] > _direct._DENSE_DIRECT_LIMIT)
-        if wants_splu and jax.default_backend() == "tpu":
+        if (_direct.needs_host_splu(A)
+                and jax.default_backend() == "tpu"):
             # The axon TPU runtime rejects host callbacks inside compiled
             # programs; run the SuperLU path eagerly instead of jitted.
             x = _direct.host_splu_eager(A, b)
-            res = tree_norm(tree_sub(b, as_matvec(A)(x)))
-            bn = tree_norm(b)
-            rel = res / jnp.where(bn > 0, bn, 1.0)
-            info = jnp.where(jnp.isfinite(rel) & (rel <= 1e-8), 0, -1)
+            info, res, rel = _direct.direct_residual_info(A, b, x)
             return x, info, None, res, rel
         x, info, _, res, rel = _jitted_direct()(A, b)
         return x, info, None, res, rel
@@ -311,6 +303,10 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
         gmres_refined,
     )
 
+    if mixed and method == "fcg":
+        raise ValueError(
+            "fcg has no mixed-precision variant; use precision='full'")
+
     def run(A, b, x0, M):
         out = _run_inner(A, b, x0, M)
         # relative residual for SolverResult, inside the same program
@@ -335,9 +331,9 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
                 return cg_diff(A, b, x0, tol=tol, atol=atol,
                                maxiter=maxiter, M=M)
             if method == "fcg":
-                from tpu_sparse.solvers import fcg_full
+                from tpu_sparse.autodiff import fcg_diff
 
-                return fcg_full(A, b, x0, tol=tol, atol=atol,
+                return fcg_diff(A, b, x0, tol=tol, atol=atol,
                                 maxiter=maxiter, M=M)
             if method == "bicgstab":
                 return bicgstab_diff(A, b, x0, tol=tol, atol=atol,

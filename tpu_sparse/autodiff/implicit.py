@@ -41,17 +41,21 @@ from jax import lax
 from jax.tree_util import Partial
 
 from tpu_sparse.kernels import as_matvec, spmv
+from tpu_sparse.solvers.fcg import fcg_full
 from tpu_sparse.solvers.krylov import bicgstab_full, cg_full, gmres_full
 from tpu_sparse.sparse.containers import BSR, CSR, DIA, is_sparse
 from tpu_sparse.utils.tree import tree_map
 
 _SOLVERS = {
     "cg": cg_full,
+    "fcg": fcg_full,
     "bicgstab": bicgstab_full,
     "gmres": gmres_full,
 }
 
-_SYMMETRIC = {"cg": True, "bicgstab": False, "gmres": False}
+# 'symmetric' = the adjoint solve may reuse A (hermitian operators); FCG
+# additionally tolerates nonsymmetric M, so the forward M is reused too.
+_SYMMETRIC = {"cg": True, "fcg": True, "bicgstab": False, "gmres": False}
 
 
 def _zero_cotangent(tree):
@@ -177,6 +181,13 @@ def cg_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
     """
     opts = (("tol", tol), ("atol", atol), ("maxiter", maxiter))
     return _dispatch("cg", A, b, x0, M, opts)
+
+
+def fcg_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
+             maxiter: Optional[int] = None, M=None):
+    """Flexible CG with implicit-diff adjoint (A hermitian; M arbitrary)."""
+    opts = (("tol", tol), ("atol", atol), ("maxiter", maxiter))
+    return _dispatch("fcg", A, b, x0, M, opts)
 
 
 def bicgstab_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,

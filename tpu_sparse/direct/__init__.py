@@ -49,6 +49,45 @@ def banded_solve(A: DIA, b: jax.Array) -> jax.Array:
 _DENSE_DIRECT_LIMIT = 4096
 
 
+def _splu_host(data, indices, indptr, shape, bb):
+    """Shared host-side SuperLU body (used by the callback and eager
+    paths). Solves in f64 (or c128 for complex rhs) and casts back."""
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    bb = np.asarray(bb)
+    work = (np.complex128 if np.iscomplexobj(bb)
+            or np.iscomplexobj(np.asarray(data)) else np.float64)
+    M = sp.csr_matrix((np.asarray(data, dtype=work), np.asarray(indices),
+                       np.asarray(indptr)), shape=shape)
+    out = spl.splu(M.tocsc()).solve(bb.astype(work))
+    return out.astype(bb.dtype)
+
+
+def needs_host_splu(A) -> bool:
+    """True when ``direct_solve`` would route A to the host SuperLU path
+    (general sparse beyond the densify limit)."""
+    if not is_sparse(A):
+        return False
+    if isinstance(A, DIA) and A.bandwidth <= max(1, A.shape[0] // 4):
+        return False
+    return A.shape[0] > _DENSE_DIRECT_LIMIT
+
+
+def direct_residual_info(A, b, x):
+    """Dtype-aware (info, res, rel) for a direct solve's result."""
+    res = tree_norm(tree_sub(b, _matvec(A, x)))
+    b_norm = tree_norm(b)
+    dt = jax.tree_util.tree_leaves(b)[0].dtype
+    rel_tol = 1e-8 if jnp.finfo(dt).bits >= 64 else 1e-4
+    ok = jnp.isfinite(res) & (res <= jnp.maximum(rel_tol * b_norm,
+                                                 jnp.finfo(dt).tiny))
+    info = jnp.where(ok, 0, -1).astype(jnp.int32)
+    rel = res / jnp.where(b_norm > 0, b_norm, 1.0)
+    return info, res, rel
+
+
 def host_splu_solve(A, b: jax.Array) -> jax.Array:
     """General sparse LU on host (scipy SuperLU) via jax.pure_callback.
 
@@ -57,6 +96,8 @@ def host_splu_solve(A, b: jax.Array) -> jax.Array:
     callback is a node in the compiled graph) at the cost of one
     device↔host round trip per solve. Differentiable through the standard
     adjoint wrapper (the backward pass issues a second host solve on Aᵀ).
+    NOTE: requires a runtime with host-callback support (CPU/GPU; the axon
+    TPU runtime rejects callbacks — use host_splu_eager outside jit there).
     """
     from tpu_sparse.sparse.containers import COO, CSR
 
@@ -67,14 +108,7 @@ def host_splu_solve(A, b: jax.Array) -> jax.Array:
     shape = A.shape
 
     def cb(data, indices, indptr, bb):
-        import numpy as np
-        import scipy.sparse as sp
-        import scipy.sparse.linalg as spl
-
-        M = sp.csr_matrix((np.asarray(data), np.asarray(indices),
-                           np.asarray(indptr)), shape=shape)
-        out = spl.splu(M.tocsc()).solve(np.asarray(bb, dtype=np.float64))
-        return out.astype(bb.dtype)
+        return _splu_host(data, indices, indptr, shape, bb)
 
     return jax.pure_callback(
         cb, jax.ShapeDtypeStruct(b.shape, b.dtype),
@@ -86,25 +120,37 @@ def host_splu_eager(A, b: jax.Array) -> jax.Array:
     support host callbacks inside compiled programs (e.g. the axon TPU
     runtime). Must be called OUTSIDE jit; arrays round-trip via numpy."""
     import numpy as np
-    import scipy.sparse as sp
-    import scipy.sparse.linalg as spl
 
     from tpu_sparse.sparse.convert import to_csr
 
     Ac = to_csr(A)
-    M = sp.csr_matrix((np.asarray(Ac.data), np.asarray(Ac.indices),
-                       np.asarray(Ac.indptr)), shape=Ac.shape)
-    out = spl.splu(M.tocsc()).solve(np.asarray(b, dtype=np.float64))
-    return jnp.asarray(out.astype(np.asarray(b).dtype))
+    return jnp.asarray(_splu_host(np.asarray(Ac.data),
+                                  np.asarray(Ac.indices),
+                                  np.asarray(Ac.indptr), Ac.shape,
+                                  np.asarray(b)))
 
 
 def direct_solve(A, b: jax.Array) -> jax.Array:
     """Direct solve without autograd wiring."""
     if isinstance(A, DIA) and A.bandwidth <= max(1, A.shape[0] // 4):
         return banded_solve(A, b)
-    if is_sparse(A) and A.shape[0] > _DENSE_DIRECT_LIMIT:
+    if needs_host_splu(A):
         from tpu_sparse.sparse.containers import COO, CSR
 
+        if jax.default_backend() == "tpu":
+            # the axon TPU runtime rejects host callbacks inside compiled
+            # programs; outside jit we can still run SuperLU eagerly,
+            # inside jit fall back to dense LU (raising past the dense
+            # limit rather than crashing at runtime).
+            if not isinstance(b, jax.core.Tracer):
+                return host_splu_eager(A, b)
+            if A.shape[0] > 16384:
+                raise NotImplementedError(
+                    "general sparse direct solves inside jit on this TPU "
+                    "runtime need host callbacks, which it does not "
+                    "support; call outside jit (host SuperLU) or use an "
+                    "iterative method")
+            return dense_solve(A, b)
         if not isinstance(A, (CSR, COO)):
             A = A.tocoo()
         return host_splu_solve(A, b)
@@ -121,17 +167,10 @@ def _direct_full(A, b, x0=None, M=None, *, tol: float = 0.0,
     the Krylov solvers so the implicit-diff wrapper can reuse it."""
     del x0, M
     x = direct_solve(A, b)
-    res = tree_norm(tree_sub(b, _matvec(A, x)))
-    b_norm = tree_norm(b)
     # Dtype-aware accuracy bar: ~1e-8 relative in f64 (reference
     # test_module_c.py:141 asserts <1e-10 absolute on small systems), and
-    # a correspondingly achievable bar in f32, where residuals bottom out
-    # near eps ~ 1.2e-7.
-    dt = jax.tree_util.tree_leaves(b)[0].dtype
-    rel_tol = 1e-8 if jnp.finfo(dt).bits >= 64 else 1e-4
-    ok = jnp.isfinite(res) & (res <= jnp.maximum(rel_tol * b_norm,
-                                                 jnp.finfo(dt).tiny))
-    info = jnp.where(ok, 0, -1).astype(jnp.int32)
+    # a correspondingly achievable bar in f32.
+    info, res, _ = direct_residual_info(A, b, x)
     return x, info, jnp.array(0, jnp.int32), res
 
 
@@ -163,5 +202,7 @@ def direct_solve_full_diff(A, b):
 __all__ = [
     "banded_solve", "direct_solve", "direct_solve_diff",
     "direct_solve_full_diff", "thomas_solve", "banded_lu_solve",
-    "banded_lu_factor", "dense_solve",
+    "banded_lu_factor", "dense_solve", "host_splu_solve",
+    "host_splu_eager", "needs_host_splu", "direct_residual_info",
+    "pcr_solve",
 ]

@@ -32,6 +32,14 @@ from tpu_sparse.solvers.krylov import bicgstab_full, cg_full
 from tpu_sparse.sparse.containers import DIA
 
 
+def _check_precond_divisible(n: int, mesh: Mesh, M) -> None:
+    if M is not None and n % mesh.devices.size != 0:
+        raise ValueError(
+            f"preconditioned distributed solves need n ({n}) divisible by "
+            f"the mesh size ({mesh.devices.size}): the identity padding "
+            f"would not match the preconditioner's dimension")
+
+
 def distributed_matvec_op(A: DIA, mesh: Mesh, mode: str = "gspmd"):
     """Shard A and return (A_sharded, matvec) for the chosen mode."""
     A_sh = shard_dia(A, mesh)
@@ -57,11 +65,7 @@ def distributed_cg(A: DIA, b: jax.Array, x0: Optional[jax.Array] = None, *,
     if mesh is None:
         mesh = make_row_mesh()
     n_orig = b.shape[0]
-    if M is not None and n_orig % mesh.devices.size != 0:
-        raise ValueError(
-            f"preconditioned distributed solves need n ({n_orig}) divisible "
-            f"by the mesh size ({mesh.devices.size}): the identity padding "
-            f"would not match the preconditioner's dimension")
+    _check_precond_divisible(n_orig, mesh, M)
     A_sh, matvec = distributed_matvec_op(A, mesh, mode)
     b_sh = shard_vector(b, mesh)
     x0_sh = shard_vector(x0, mesh) if x0 is not None else None
@@ -84,6 +88,7 @@ def distributed_bicgstab(A: DIA, b: jax.Array,
     if mesh is None:
         mesh = make_row_mesh()
     n_orig = b.shape[0]
+    _check_precond_divisible(n_orig, mesh, M)
     A_sh, matvec = distributed_matvec_op(A, mesh, mode)
     b_sh = shard_vector(b, mesh)
     x0_sh = shard_vector(x0, mesh) if x0 is not None else None
@@ -111,6 +116,7 @@ def distributed_gmres(A: DIA, b: jax.Array, x0: Optional[jax.Array] = None,
     if mesh is None:
         mesh = make_row_mesh()
     n_orig = b.shape[0]
+    _check_precond_divisible(n_orig, mesh, M)
     A_sh, matvec = distributed_matvec_op(A, mesh, mode)
     b_sh = shard_vector(b, mesh)
     x0_sh = shard_vector(x0, mesh) if x0 is not None else None
