@@ -194,7 +194,7 @@ class SparseSolver:
         # solves on TPU (runs at the HBM roofline for narrow stencils).
         from tpu_sparse.sparse.containers import DIA
 
-        if (method != "fcg" and M is None and isinstance(A, DIA)
+        if (method != "fcg" and _extendable_m(M) and isinstance(A, DIA)
                 and jax.default_backend() == "tpu"
                 and A.data.dtype in (jnp.float32, jnp.bfloat16)
                 and getattr(b, "dtype", None)
@@ -202,7 +202,8 @@ class SparseSolver:
             op = _cached_extended_operator(A)
             if op is not None:
                 return _jitted_krylov_ext(method, tol, atol, maxiter,
-                                          restart, solve_method)(op, b, x0)
+                                          restart, solve_method)(op, b, x0,
+                                                                 M)
         return _jitted_krylov(method, tol, atol, maxiter, restart,
                               solve_method, False)(_wrap_m(A), b, x0,
                                                    _wrap_m(M))
@@ -370,24 +371,43 @@ def _cached_extended_operator(A):
     return op
 
 
+def _extendable_m(M) -> bool:
+    """Fast path supports M=None or a diagonal (Jacobi) preconditioner —
+    the latter extends with unit margins without breaking the zero-margin
+    invariant."""
+    if M is None:
+        return True
+    from jax.tree_util import Partial
+
+    from tpu_sparse.precond.jacobi import _apply_diag
+
+    return isinstance(M, Partial) and M.func is _apply_diag
+
+
 @functools.lru_cache(maxsize=64)
 def _jitted_krylov_ext(method: str, tol: float, atol: float, maxiter,
                        restart, solve_method: str):
     """Krylov solve in halo-extended space (pad-free Pallas SpMV)."""
+    from jax.tree_util import Partial
+
+    from tpu_sparse.precond.jacobi import _apply_diag
     from tpu_sparse.solvers.krylov import bicgstab_full, cg_full, gmres_full
 
-    def run(op, b, x0):
+    def run(op, b, x0, M):
         b_ext = op.extend(b)
         x0_ext = None if x0 is None else op.extend(x0)
+        M_ext = None
+        if M is not None:  # diagonal preconditioner (see _extendable_m)
+            M_ext = Partial(_apply_diag, op.extend_diag(M.args[0]))
         if method == "cg":
             out = cg_full(op, b_ext, x0_ext, tol=tol, atol=atol,
-                          maxiter=maxiter)
+                          maxiter=maxiter, M=M_ext)
         elif method == "bicgstab":
             out = bicgstab_full(op, b_ext, x0_ext, tol=tol, atol=atol,
-                                maxiter=maxiter)
+                                maxiter=maxiter, M=M_ext)
         elif method == "gmres":
             out = gmres_full(op, b_ext, x0_ext, tol=tol, atol=atol,
-                             restart=restart, maxiter=maxiter,
+                             restart=restart, maxiter=maxiter, M=M_ext,
                              solve_method=solve_method)
         else:
             raise ValueError(f"unknown krylov method: {method}")

@@ -300,6 +300,13 @@ class ExtendedStencilOperator:
     def extend(self, v: jax.Array) -> jax.Array:
         return jnp.pad(v, (self.Wl, self.E - self.Wl - self.n))
 
+    def extend_diag(self, d: jax.Array) -> jax.Array:
+        """Extend a diagonal-scaling vector with ones. Applying dinv_ext*v
+        to extended vectors keeps the zero margins zero, so diagonal
+        preconditioners compose with the pad-free fast path."""
+        return jnp.pad(d, (self.Wl, self.E - self.Wl - self.n),
+                       constant_values=1.0)
+
     def extract(self, v_ext: jax.Array) -> jax.Array:
         return jax.lax.slice(v_ext, (self.Wl,), (self.Wl + self.n,))
 
