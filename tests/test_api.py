@@ -155,3 +155,14 @@ def test_fcg_through_router():
     M = amg_preconditioner(A, pre_sweeps=0, post_sweeps=3)  # nonsymmetric
     x, r = solve(A, b, method="fcg", tol=1e-8, M=M)
     assert r.converged and r.residual < 1e-6
+
+
+def test_fgmres_through_router():
+    from tpu_sparse.precond import amg_preconditioner
+    from tpu_sparse.sparse import generators
+
+    A = generators.convection_diffusion(128)
+    b = A @ jnp.ones(128)
+    M = amg_preconditioner(A, pre_sweeps=0, post_sweeps=3)
+    x, r = solve(A, b, method="fgmres", tol=1e-8, M=M, restart=30)
+    assert r.converged and r.residual < 1e-6

@@ -171,3 +171,36 @@ class TestFCG:
         assert int(info) == 0
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
                                    rtol=1e-6, atol=1e-8)
+
+
+class TestFGMRES:
+    def test_fgmres_with_variable_preconditioner(self):
+        """FGMRES with a nonsymmetric AMG V(0,3) cycle (what left-GMRES
+        assumes fixed and FCG needs SPD for)."""
+        from tpu_sparse.precond import amg_preconditioner
+        from tpu_sparse.solvers import fgmres_full
+
+        A = generators.convection_diffusion(200)
+        b, _ = make_b(A)
+        M = amg_preconditioner(A, pre_sweeps=0, post_sweeps=3)
+        x, info, cycles, res = fgmres_full(A, b, tol=1e-8, M=M, restart=30)
+        assert int(info) == 0
+        assert rel_residual(A, x, b) < 1e-6
+
+    def test_fgmres_matches_gmres_unpreconditioned(self):
+        from tpu_sparse.solvers import fgmres
+
+        A = generators.convection_diffusion(64)
+        b, x_true = make_b(A)
+        x, info = fgmres(A, b, tol=1e-10, restart=30)
+        assert int(info) == 0
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_fgmres_jit(self):
+        from tpu_sparse.solvers import fgmres
+
+        A = generators.tridiagonal(64)
+        b, _ = make_b(A)
+        x, info = jax.jit(lambda a, r: fgmres(a, r, tol=1e-10))(A, b)
+        assert int(info) == 0

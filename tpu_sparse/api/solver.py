@@ -35,6 +35,7 @@ class SolverMethod(Enum):
     FCG = "fcg"
     BICGSTAB = "bicgstab"
     GMRES = "gmres"
+    FGMRES = "fgmres"
     AMG = "amg"
     DIRECT = "direct"
 
@@ -194,7 +195,8 @@ class SparseSolver:
         # solves on TPU (runs at the HBM roofline for narrow stencils).
         from tpu_sparse.sparse.containers import DIA
 
-        if (method != "fcg" and _extendable_m(M) and isinstance(A, DIA)
+        if (method in ("cg", "bicgstab", "gmres") and _extendable_m(M)
+                and isinstance(A, DIA)
                 and jax.default_backend() == "tpu"
                 and A.data.dtype in (jnp.float32, jnp.bfloat16)
                 and getattr(b, "dtype", None)
@@ -304,9 +306,10 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
         gmres_refined,
     )
 
-    if mixed and method == "fcg":
+    if mixed and method in ("fcg", "fgmres"):
         raise ValueError(
-            "fcg has no mixed-precision variant; use precision='full'")
+            f"{method} has no mixed-precision variant; use "
+            "precision='full'")
 
     def run(A, b, x0, M):
         out = _run_inner(A, b, x0, M)
@@ -336,6 +339,11 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
 
                 return fcg_diff(A, b, x0, tol=tol, atol=atol,
                                 maxiter=maxiter, M=M)
+            if method == "fgmres":
+                from tpu_sparse.autodiff import fgmres_diff
+
+                return fgmres_diff(A, b, x0, tol=tol, atol=atol,
+                                   restart=restart, maxiter=maxiter, M=M)
             if method == "bicgstab":
                 return bicgstab_diff(A, b, x0, tol=tol, atol=atol,
                                      maxiter=maxiter, M=M)

@@ -1,3 +1,10 @@
-from tpu_sparse.autodiff.implicit import bicgstab_diff, cg_diff, fcg_diff, gmres_diff
+from tpu_sparse.autodiff.implicit import (
+    bicgstab_diff,
+    cg_diff,
+    fcg_diff,
+    fgmres_diff,
+    gmres_diff,
+)
 
-__all__ = ["cg_diff", "fcg_diff", "bicgstab_diff", "gmres_diff"]
+__all__ = ["cg_diff", "fcg_diff", "bicgstab_diff", "gmres_diff",
+           "fgmres_diff"]

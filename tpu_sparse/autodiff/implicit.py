@@ -42,6 +42,7 @@ from jax.tree_util import Partial
 
 from tpu_sparse.kernels import as_matvec, spmv
 from tpu_sparse.solvers.fcg import fcg_full
+from tpu_sparse.solvers.fgmres import fgmres_full
 from tpu_sparse.solvers.krylov import bicgstab_full, cg_full, gmres_full
 from tpu_sparse.sparse.containers import BSR, CSR, DIA, is_sparse
 from tpu_sparse.utils.tree import tree_map
@@ -51,11 +52,13 @@ _SOLVERS = {
     "fcg": fcg_full,
     "bicgstab": bicgstab_full,
     "gmres": gmres_full,
+    "fgmres": fgmres_full,
 }
 
 # 'symmetric' = the adjoint solve may reuse A (hermitian operators); FCG
 # additionally tolerates nonsymmetric M, so the forward M is reused too.
-_SYMMETRIC = {"cg": True, "fcg": True, "bicgstab": False, "gmres": False}
+_SYMMETRIC = {"cg": True, "fcg": True, "bicgstab": False,
+              "gmres": False, "fgmres": False}
 
 
 def _zero_cotangent(tree):
@@ -188,6 +191,14 @@ def fcg_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
     """Flexible CG with implicit-diff adjoint (A hermitian; M arbitrary)."""
     opts = (("tol", tol), ("atol", atol), ("maxiter", maxiter))
     return _dispatch("fcg", A, b, x0, M, opts)
+
+
+def fgmres_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
+                restart: int = 20, maxiter: Optional[int] = None, M=None):
+    """Flexible GMRES with implicit-diff adjoint (adjoint on Aᴴ, no M)."""
+    opts = (("tol", tol), ("atol", atol), ("restart", restart),
+            ("maxiter", maxiter))
+    return _dispatch("fgmres", A, b, x0, M, opts)
 
 
 def bicgstab_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,

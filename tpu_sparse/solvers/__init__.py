@@ -13,6 +13,7 @@ from tpu_sparse.solvers.mixed import (
     refined_solve,
 )
 from tpu_sparse.solvers.fcg import fcg, fcg_full
+from tpu_sparse.solvers.fgmres import fgmres, fgmres_full
 from tpu_sparse.solvers.batched import (
     batch_bicgstab,
     batch_cg,
@@ -47,7 +48,7 @@ def gmres_differentiable(A, b, **kwargs):
 
 __all__ = [
     "cg", "bicgstab", "gmres", "cg_full", "bicgstab_full", "gmres_full",
-    "fcg", "fcg_full",
+    "fcg", "fcg_full", "fgmres", "fgmres_full",
     "cg_refined", "bicgstab_refined", "gmres_refined", "refined_solve",
     "batch_cg", "batch_bicgstab", "batch_gmres", "batch_direct",
     "cg_differentiable", "bicgstab_differentiable", "gmres_differentiable",
