@@ -43,15 +43,23 @@ class TPUValidationRunner:
         return np.all(np.isfinite(g)) and np.abs(g).max() > 0
 
     def run_krylov(self):
-        from tpu_sparse.autodiff import bicgstab_diff, cg_diff, gmres_diff
+        from tpu_sparse.autodiff import (
+            bicgstab_diff,
+            cg_diff,
+            fcg_diff,
+            fgmres_diff,
+            gmres_diff,
+        )
         from tpu_sparse.sparse import generators
 
         A = generators.tridiagonal(256, dtype=np.float32)
         rng = np.random.default_rng(0)
         x_true = jnp.asarray(rng.standard_normal(256).astype(np.float32))
         b = A @ x_true
-        for name, solver in [("cg", cg_diff), ("bicgstab", bicgstab_diff),
-                             ("gmres", gmres_diff)]:
+        for name, solver in [("cg", cg_diff), ("fcg", fcg_diff),
+                             ("bicgstab", bicgstab_diff),
+                             ("gmres", gmres_diff),
+                             ("fgmres", fgmres_diff)]:
             x, info, _, _ = jax.jit(
                 lambda a, rhs, s=solver: s(a, rhs, tol=1e-5))(A, b)
             rel = float(jnp.linalg.norm(b - A @ x)
