@@ -31,6 +31,10 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
+# Test hook: run kernels in the Pallas interpreter (CPU) so kernel logic is
+# exercised in CI without TPU hardware.
+_INTERPRET = False
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -150,6 +154,7 @@ def _dia_spmv_pallas_impl_inner(data, x, *, offsets, shape):
             bytes_accessed=(ndiag + 2) * n_pad * 4,
             transcendentals=0,
         ),
+        interpret=_INTERPRET,
     )(xp, data_p)
     return y[:n]
 
@@ -356,6 +361,7 @@ class ExtendedStencilOperator:
                 bytes_accessed=(ndiag + 2) * self.n_pad * 4,
                 transcendentals=0,
             ),
+            interpret=_INTERPRET,
         )(x_ext, self.data_p)
 
 
