@@ -41,3 +41,17 @@ def test_inverse_poisson_reduces_error():
 
     err = ip.main(["--n", "24", "--steps", "40"])
     assert err < 0.4  # started at 0.8 (sigma=1 vs range [1, 1.8])
+
+
+def test_checkpoint_shape_dtype_validation(tmp_path):
+    import jax.numpy as jnp
+    import pytest
+
+    tree = {"u": jnp.zeros((4, 4)), "p": jnp.zeros(16)}
+    p = str(tmp_path / "state.npz")
+    save_pytree(p, tree)
+    with pytest.raises(ValueError, match="shape"):
+        load_pytree(p, {"u": jnp.zeros((8, 8)), "p": jnp.zeros(16)})
+    with pytest.raises(ValueError, match="dtype"):
+        load_pytree(p, {"u": jnp.zeros((4, 4)),
+                        "p": jnp.zeros(16, jnp.float32)})

@@ -148,3 +148,34 @@ def test_distributed_preconditioned_needs_divisible_n(mesh):
     b = jnp.ones(100)
     with pytest.raises(ValueError, match="divisible"):
         distributed_cg(A, b, mesh=mesh, M=jacobi_preconditioner(A))
+
+
+def test_allgather_spmv_wide_bandwidth(mesh):
+    # bandwidth 43 > shard 27 on the 8-device mesh: single-hop halos cannot
+    # cover the stencil; the explicit all_gather SpMV must.
+    from tpu_sparse.dist.spmv import make_allgather_spmv
+
+    A = generators.poisson3d_27pt(6)  # n=216, bandwidth 43
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(216))
+    y_local = spmv(A, x)
+    A_sh = shard_dia(A, mesh)
+    x_sh = shard_vector(x, mesh)
+    y_dist = make_allgather_spmv(A_sh, mesh)(x_sh)
+    np.testing.assert_allclose(np.asarray(y_dist), np.asarray(y_local),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_distributed_cg_wide_bandwidth_degrades_to_allgather(mesh):
+    # mode='halo' on a bandwidth>shard system must solve the REAL matrix
+    # via the all_gather fallback (round-1 dryrun silently substituted a
+    # tridiagonal here).
+    A = generators.poisson3d_27pt(6)
+    n = A.shape[0]
+    rng = np.random.default_rng(8)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = A @ x_true
+    x, info, iters, res = distributed_cg(A, b, mesh=mesh, mode="halo",
+                                         tol=1e-8)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-6, atol=1e-6)

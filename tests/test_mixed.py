@@ -60,3 +60,22 @@ def test_refined_matrix_free():
     assert int(info) == 0
     rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
     assert rel < 1e-10
+
+
+def test_bicgstab_refined_illcond_tridiag():
+    # Round-1 benchmark cells that stalled: mixed-precision BiCGStab on the
+    # n=500 tridiagonal (condition ~1e5) at tol=1e-8. The full-precision
+    # rescue sweep in refined_solve must close them.
+    A, b, x_true = _setup(generators.tridiagonal, n=500, seed=3)
+    x, info, _, res = bicgstab_refined(A, b, tol=1e-8, maxiter=5000)
+    assert int(info) == 0
+    rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+    assert rel < 1e-8
+
+
+def test_gmres_refined_illcond_tridiag():
+    A, b, x_true = _setup(generators.tridiagonal, n=500, seed=4)
+    x, info, _, res = gmres_refined(A, b, tol=1e-8, restart=30, maxiter=5000)
+    assert int(info) == 0
+    rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+    assert rel < 1e-8

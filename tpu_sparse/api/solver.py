@@ -195,8 +195,11 @@ class SparseSolver:
         # solves on TPU (runs at the HBM roofline for narrow stencils).
         from tpu_sparse.sparse.containers import DIA
 
+        from tpu_sparse import kernels as _kernels
+
         if (method in ("cg", "bicgstab", "gmres") and _extendable_m(M)
                 and isinstance(A, DIA)
+                and _kernels._PALLAS_ENABLED
                 and jax.default_backend() == "tpu"
                 and A.data.dtype in (jnp.float32, jnp.bfloat16)
                 and getattr(b, "dtype", None)
@@ -213,7 +216,8 @@ class SparseSolver:
     def _solve_krylov_mixed(self, A, b, x0, method, tol, atol, maxiter, M,
                             restart, solve_method):
         return _jitted_krylov(method, tol, atol, maxiter, restart,
-                              solve_method, True)(A, b, x0, _wrap_m(M))
+                              solve_method, True)(_wrap_m(A), b, x0,
+                                                  _wrap_m(M))
 
     def _solve_amg(self, A, b, x0, method, tol, atol, maxiter, **kwargs):
         from tpu_sparse.precond.amg import amg_preconditioner

@@ -53,13 +53,13 @@ def pad_vector(b: jax.Array, n_dev: int) -> jax.Array:
 
 
 def shard_dia(A: DIA, mesh: Mesh) -> DIA:
-    """Place a DIA matrix row-sharded on the mesh (pads to divisibility)."""
+    """Place a DIA matrix row-sharded on the mesh (pads to divisibility).
+
+    No bandwidth constraint: when bandwidth exceeds the shard size the
+    halo-exchange SpMV falls back to an all_gather of x
+    (dist.spmv.make_allgather_spmv); gspmd mode never needed one."""
     n_dev = mesh.devices.size
     A = pad_dia(A, n_dev)
-    if A.bandwidth > A.shape[0] // n_dev:
-        raise ValueError(
-            f"bandwidth {A.bandwidth} exceeds shard size "
-            f"{A.shape[0] // n_dev}; use fewer devices or a wider layout")
     data = jax.device_put(A.data, row_sharding(mesh, ndim=2, row_axis_pos=1))
     return DIA(data, A.offsets, A.shape)
 

@@ -41,10 +41,20 @@ def _check_precond_divisible(n: int, mesh: Mesh, M) -> None:
 
 
 def distributed_matvec_op(A: DIA, mesh: Mesh, mode: str = "gspmd"):
-    """Shard A and return (A_sharded, matvec) for the chosen mode."""
+    """Shard A and return (A_sharded, matvec) for the chosen mode.
+
+    mode='halo' automatically degrades to 'allgather' when the stencil
+    bandwidth exceeds the shard size (single-hop neighbor halos cannot
+    supply all remote columns there)."""
+    from tpu_sparse.dist.spmv import make_allgather_spmv
+
     A_sh = shard_dia(A, mesh)
+    if mode == "halo" and A_sh.bandwidth > A_sh.shape[0] // mesh.devices.size:
+        mode = "allgather"
     if mode == "halo":
         return A_sh, make_halo_spmv(A_sh, mesh)
+    if mode == "allgather":
+        return A_sh, make_allgather_spmv(A_sh, mesh)
     if mode == "gspmd":
         from tpu_sparse.kernels import reference as kref
 

@@ -82,6 +82,43 @@ def make_halo_spmv(A: DIA, mesh: Mesh) -> Callable[[jax.Array], jax.Array]:
     return spmv_fn
 
 
+def make_allgather_spmv(A: DIA, mesh: Mesh) -> Callable[[jax.Array], jax.Array]:
+    """Return x ↦ A@x where each device all-gathers x before the local
+    stencil pass.
+
+    Fallback for bandwidth > shard size, where single-hop neighbor halos
+    cannot supply all remote columns. The all_gather rides ICI as a ring
+    collective; local compute covers only the owned rows, so the result
+    stays row-sharded like the halo path. ``A`` must already be row-sharded
+    (dist.partition.shard_dia)."""
+    w = max(A.bandwidth, 1)
+    n = A.shape[0]
+    n_dev = mesh.devices.size
+    s = n // n_dev
+    offsets = A.offsets
+
+    def local_fn(data_local, x_local):
+        x_full = lax.all_gather(x_local, ROW_AXIS, tiled=True)  # (n,)
+        xp = jnp.pad(x_full, (w, w))
+        i0 = lax.axis_index(ROW_AXIS) * s
+        y = jnp.zeros((s,), dtype=jnp.result_type(data_local.dtype,
+                                                  x_local.dtype))
+        for d, o in enumerate(offsets):
+            y = y + data_local[d] * lax.dynamic_slice(xp, (w + i0 + o,), (s,))
+        return y
+
+    shmapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, ROW_AXIS), P(ROW_AXIS)),
+        out_specs=P(ROW_AXIS),
+    )
+
+    def spmv_fn(x):
+        return shmapped(A.data, x)
+
+    return spmv_fn
+
+
 def halo_dia_spmv(A: DIA, x: jax.Array, mesh: Mesh) -> jax.Array:
     """One-shot distributed SpMV (see make_halo_spmv)."""
     return make_halo_spmv(A, mesh)(x)

@@ -1,9 +1,9 @@
 """Kernel dispatch: route SpMV/SpMM to the best implementation.
 
-On TPU, DIA matrices route to the Pallas double-buffered stencil kernel and
-BSR to the Pallas MXU block kernel (kernels/pallas_spmv.py); everything else
-(and every CPU run) uses the XLA reference kernels, which are themselves
-jit-compiled and fully fused.
+On TPU, DIA matrices route to the Pallas double-buffered stencil kernel
+(kernels/pallas_spmv.py) and BELL matrices to the Pallas block kernels
+(kernels/pallas_bell.py); everything else (and every CPU run) uses the XLA
+reference kernels, which are themselves jit-compiled and fully fused.
 """
 
 from __future__ import annotations

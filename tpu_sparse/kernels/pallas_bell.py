@@ -5,7 +5,7 @@ VMEM via the auto-pipelined BlockSpec; the dense operand stays fully in
 VMEM (capped); block-column ids arrive via scalar prefetch (SMEM) so each
 step's operand slices are dynamic *slices*, not gathers.
 
-XLA fallbacks live in kernels/reference_bell.py.
+XLA fallbacks (`bell_spmv`/`bell_spmm`) live in kernels/reference.py.
 """
 
 from __future__ import annotations

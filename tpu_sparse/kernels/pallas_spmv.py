@@ -171,6 +171,15 @@ def dia_spmv_pallas(A: DIA, x: jax.Array):
     if A.data.dtype not in (jnp.float32, jnp.bfloat16) or \
             x.dtype not in (jnp.float32, jnp.bfloat16):
         return None  # f64/complex stay on the XLA path
+    if A.data.dtype != x.dtype:
+        # The VMEM x double buffers are allocated at the result dtype;
+        # mismatched HBM source dtype would fail the async copy at compile
+        # time. Cast x up front (result_type covers both operands).
+        x = x.astype(jnp.result_type(A.data.dtype, x.dtype))
+        if x.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        if A.data.dtype != x.dtype:
+            A = A.with_data(A.data.astype(x.dtype))
     w = max(abs(o) for o in A.offsets)
     if w >= n:
         return None

@@ -127,6 +127,25 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
         # breakdown info codes are negative; don't sum them into the count
         inner_iters = inner_iters + jnp.maximum(it, 0)
 
+    # Full-precision rescue sweep: ill-conditioned systems can defeat the
+    # f32 inner solves (the sweeps stall above tol). Run one inner solve in
+    # the OUTER dtype on the current defect, targeting the true threshold
+    # directly (tol=0, atol=thresh). The zero-rhs trick keeps it free when
+    # the f32 sweeps already converged: its residual check exits at
+    # iteration 0.
+    failed = (~jnp.isfinite(res_norm)) | (res_norm > thresh)
+    r = tree_sub(b, A_fn(x))
+    rhs = tree_map(
+        lambda leaf: jnp.where(failed, leaf, jnp.zeros_like(leaf)), r)
+    d, _, it_f, _ = inner_solver(A, rhs, None, tol=0.0, atol=thresh,
+                                 maxiter=maxiter, M=M, **inner_kwargs)
+    x_new = tree_add(x, d)
+    res_new = tree_norm(tree_sub(b, A_fn(x_new)))
+    accept = jnp.isfinite(res_new) & (res_new < res_norm) & failed
+    x = tree_map(lambda a, bnew: jnp.where(accept, bnew, a), x, x_new)
+    res_norm = jnp.where(accept, res_new, res_norm)
+    inner_iters = inner_iters + jnp.maximum(it_f, 0)
+
     failed = (~jnp.isfinite(res_norm)) | (res_norm > thresh)
     info = jnp.where(failed, -1, 0).astype(jnp.int32)
     return x, info, inner_iters, res_norm

@@ -36,6 +36,17 @@ def load_pytree(path: str, like: Any) -> Any:
         key = _path_key(p)
         if key not in data:
             raise KeyError(f"checkpoint missing leaf {key}")
-        leaves.append(jax.numpy.asarray(data[key]))
+        loaded = data[key]
+        tmpl_shape = tuple(getattr(v, "shape", np.shape(v)))
+        tmpl_dtype = np.dtype(getattr(v, "dtype", np.asarray(v).dtype))
+        if tuple(loaded.shape) != tmpl_shape:
+            raise ValueError(
+                f"checkpoint leaf {key} has shape {tuple(loaded.shape)}, "
+                f"template expects {tmpl_shape} (different grid size?)")
+        if np.dtype(loaded.dtype) != tmpl_dtype:
+            raise ValueError(
+                f"checkpoint leaf {key} has dtype {loaded.dtype}, "
+                f"template expects {tmpl_dtype} (different precision?)")
+        leaves.append(jax.numpy.asarray(loaded))
     paths_treedef = jax.tree_util.tree_structure(like)
     return jax.tree_util.tree_unflatten(paths_treedef, leaves)
