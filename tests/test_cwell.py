@@ -1,0 +1,146 @@
+"""CWELL (column-window ELL) general-format tests: packing correctness vs
+the CSR oracle, XLA reference kernel, and the Pallas kernel in interpret
+mode. The general-structure SpMV capability row of SURVEY.md §2.2
+(reference: torch.sparse/cuSPARSE, solver.py:365)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_sparse.kernels import reference as ref
+from tpu_sparse.kernels import spmv
+from tpu_sparse.sparse import generators
+from tpu_sparse.sparse.convert import dense_to_csr, to_csr
+from tpu_sparse.sparse.cwell import CWELL, csr_to_cwell, rcm_permutation
+
+
+def _random_csr(n, m, density, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    A = (rng.random((n, m)) < density) * rng.standard_normal((n, m))
+    return dense_to_csr(A.astype(dtype)), A.astype(dtype)
+
+
+@pytest.mark.parametrize("n,m,density", [
+    (50, 50, 0.1), (200, 130, 0.05), (128, 128, 0.3), (300, 520, 0.02),
+])
+def test_cwell_pack_roundtrip(n, m, density):
+    A, Ad = _random_csr(n, m, density, seed=n + m)
+    W = csr_to_cwell(A)
+    np.testing.assert_allclose(np.asarray(W.todense()), Ad,
+                               rtol=1e-6, atol=1e-6)
+    assert W.nnz == A.nnz
+    assert 0.0 < W.fill <= 1.0
+
+
+def test_cwell_spmv_reference_matches_csr():
+    A, Ad = _random_csr(257, 190, 0.08, seed=3)
+    W = csr_to_cwell(A)
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal(190).astype(np.float32))
+    y_csr = ref.csr_spmv(A, x)
+    y_w = ref.cwell_spmv(W, x)
+    np.testing.assert_allclose(np.asarray(y_w), np.asarray(y_csr),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cwell_spmm_reference():
+    A, Ad = _random_csr(100, 80, 0.1, seed=5)
+    W = csr_to_cwell(A)
+    B = jnp.asarray(
+        np.random.default_rng(6).standard_normal((80, 7)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(ref.cwell_spmm(W, B)),
+                               Ad @ np.asarray(B), rtol=1e-4, atol=1e-4)
+
+
+def test_cwell_stencil_fill():
+    # locality-heavy matrix: fill must be decent (>0.4), proving the
+    # window/plane assignment exploits column locality
+    A = to_csr(generators.poisson2d(32))
+    W = csr_to_cwell(A)
+    assert W.fill > 0.4, W.fill
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(1024))
+    np.testing.assert_allclose(np.asarray(ref.cwell_spmv(W, x)),
+                               np.asarray(ref.csr_spmv(A, x)),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_cwell_pallas_interpret():
+    from tpu_sparse.kernels import pallas_cwell
+
+    A, Ad = _random_csr(300, 300, 0.05, seed=8)
+    W = csr_to_cwell(A)
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal(300).astype(np.float32))
+    y_ref = ref.cwell_spmv(W, x)
+    pallas_cwell._INTERPRET = True
+    try:
+        y = pallas_cwell.cwell_spmv_pallas(W, x)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert y is not None
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cwell_pallas_interpret_stencil():
+    from tpu_sparse.kernels import pallas_cwell
+
+    A = to_csr(generators.poisson3d_27pt(8, dtype=np.float32))
+    W = csr_to_cwell(A)
+    x = jnp.asarray(
+        np.random.default_rng(10).standard_normal(512).astype(np.float32))
+    y_ref = ref.csr_spmv(A, x)
+    pallas_cwell._INTERPRET = True
+    try:
+        y = pallas_cwell.cwell_spmv_pallas(W, x)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert y is not None
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_cwell_transpose():
+    A, Ad = _random_csr(90, 60, 0.1, seed=11)
+    W = csr_to_cwell(A)
+    np.testing.assert_allclose(np.asarray(W.T.todense()), Ad.T,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_cwell_empty_and_tiny():
+    A = dense_to_csr(np.zeros((5, 5), np.float32))
+    W = csr_to_cwell(A)
+    x = jnp.ones(5, jnp.float32)
+    np.testing.assert_allclose(np.asarray(ref.cwell_spmv(W, x)),
+                               np.zeros(5), atol=0)
+
+
+def test_rcm_improves_fill():
+    # random permutation destroys locality; RCM restores it
+    # big enough that column scatter spans many 256-wide windows
+    rng = np.random.default_rng(12)
+    A = to_csr(generators.poisson2d(48))  # n=2304
+    n = A.shape[0]
+    perm = rng.permutation(n)
+    Ad = np.asarray(A.todense())[np.ix_(perm, perm)]
+    Ap = dense_to_csr(Ad)
+    fill_scrambled = csr_to_cwell(Ap).fill
+    p = rcm_permutation(Ap)
+    Ar = dense_to_csr(Ad[np.ix_(p, p)])
+    fill_rcm = csr_to_cwell(Ar).fill
+    assert fill_rcm > 2 * fill_scrambled, (fill_scrambled, fill_rcm)
+
+
+def test_cwell_in_cg():
+    from tpu_sparse.solvers.krylov import cg_full
+
+    A = to_csr(generators.poisson2d(16, dtype=np.float32))
+    W = csr_to_cwell(A)
+    rng = np.random.default_rng(13)
+    x_true = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    b = spmv(W, x_true)
+    x, info, iters, res = cg_full(W, b, tol=1e-6)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-3, atol=1e-3)

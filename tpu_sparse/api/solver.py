@@ -201,14 +201,11 @@ class SparseSolver:
                 and isinstance(A, DIA)
                 and _kernels._PALLAS_ENABLED
                 and jax.default_backend() == "tpu"
-                and A.data.dtype in (jnp.float32, jnp.bfloat16)
+                and _ext_supported(A)
                 and getattr(b, "dtype", None)
                 in (jnp.float32, jnp.bfloat16)):
-            op = _cached_extended_operator(A)
-            if op is not None:
-                return _jitted_krylov_ext(method, tol, atol, maxiter,
-                                          restart, solve_method)(op, b, x0,
-                                                                 M)
+            return _jitted_krylov_ext(method, tol, atol, maxiter,
+                                      restart, solve_method)(A, b, x0, M)
         return _jitted_krylov(method, tol, atol, maxiter, restart,
                               solve_method, False)(_wrap_m(A), b, x0,
                                                    _wrap_m(M))
@@ -360,27 +357,15 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
     return jax.jit(run)
 
 
-_ext_op_cache: Dict[int, tuple] = {}
-
-
-def _cached_extended_operator(A):
-    """Extended-operator construction per matrix object (the eager data pad
-    costs a dispatch; repeat solves reuse it)."""
-    import weakref
-
-    from tpu_sparse.kernels.pallas_spmv import make_extended_operator
-
-    entry = _ext_op_cache.get(id(A))
-    if entry is not None and entry[0]() is A:
-        return entry[1]
-    op = make_extended_operator(A)
-    if len(_ext_op_cache) > 16:
-        _ext_op_cache.clear()
-    try:
-        _ext_op_cache[id(A)] = (weakref.ref(A), op)
-    except TypeError:
-        pass
-    return op
+def _ext_supported(A) -> bool:
+    """Static eligibility for the extended-space Pallas path (mirrors
+    make_extended_operator's guards without building the operator)."""
+    n, m = A.shape
+    if n != m or not A.offsets:
+        return False
+    if A.data.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return max(abs(o) for o in A.offsets) < n
 
 
 def _extendable_m(M) -> bool:
@@ -399,34 +384,24 @@ def _extendable_m(M) -> bool:
 @functools.lru_cache(maxsize=64)
 def _jitted_krylov_ext(method: str, tol: float, atol: float, maxiter,
                        restart, solve_method: str):
-    """Krylov solve in halo-extended space (pad-free Pallas SpMV)."""
-    from jax.tree_util import Partial
+    """Krylov solve in halo-extended space (pad-free Pallas SpMV), with
+    implicit-diff autograd: `ext_krylov_diff` runs both the forward and
+    the adjoint solve through the extended Pallas kernel, so
+    differentiating through `SparseSolver.solve` works on the fast path
+    too (round-1 gap: the fast path was AD-opaque)."""
+    from tpu_sparse.autodiff.implicit import ext_krylov_diff
 
-    from tpu_sparse.precond.jacobi import _apply_diag
-    from tpu_sparse.solvers.krylov import bicgstab_full, cg_full, gmres_full
+    if method == "gmres":
+        opts = (("tol", tol), ("atol", atol), ("restart", restart),
+                ("maxiter", maxiter), ("solve_method", solve_method))
+    else:
+        opts = (("tol", tol), ("atol", atol), ("maxiter", maxiter))
 
-    def run(op, b, x0, M):
-        b_ext = op.extend(b)
-        x0_ext = None if x0 is None else op.extend(x0)
-        M_ext = None
-        if M is not None:  # diagonal preconditioner (see _extendable_m)
-            M_ext = Partial(_apply_diag, op.extend_diag(M.args[0]))
-        if method == "cg":
-            out = cg_full(op, b_ext, x0_ext, tol=tol, atol=atol,
-                          maxiter=maxiter, M=M_ext)
-        elif method == "bicgstab":
-            out = bicgstab_full(op, b_ext, x0_ext, tol=tol, atol=atol,
-                                maxiter=maxiter, M=M_ext)
-        elif method == "gmres":
-            out = gmres_full(op, b_ext, x0_ext, tol=tol, atol=atol,
-                             restart=restart, maxiter=maxiter, M=M_ext,
-                             solve_method=solve_method)
-        else:
-            raise ValueError(f"unknown krylov method: {method}")
-        x = op.extract(out[0])
+    def run(A, b, x0, M):
+        out = ext_krylov_diff(method, opts, A, b, x0, M)
         bn = tree_norm(b)
         rel = out[3] / jnp.where(bn > 0, bn, 1.0)
-        return (x,) + out[1:] + (rel,)
+        return out + (rel,)
 
     return jax.jit(run)
 

@@ -132,6 +132,59 @@ def _ims_bwd(method, opts, residuals, cotangents):
 _implicit_matrix_solve.defvjp(_ims_fwd, _ims_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def ext_krylov_diff(method: str, opts: tuple, A, b, x0, M):
+    """Krylov solve of a DIA system in halo-extended space (pad-free Pallas
+    SpMV fast path) WITH implicit-diff adjoint: forward and adjoint solves
+    both run the extended Pallas kernel; Ā on the diagonal pattern comes
+    from the XLA reference SpMV vjp (Pallas carries no AD rules).
+
+    A must be square DIA, f32/bf16, bandwidth < n; M must be None or a
+    diagonal Partial(_apply_diag, d). Returns (x, info, iters, res).
+    Same adjoint contract as `_implicit_matrix_solve` (one extra solve;
+    reference torch_sparse_linalg.py:1227-1248)."""
+    out = _ext_run(method, dict(opts), A, b, x0, M)
+    return out
+
+
+def _ext_run(method, kw, A, b, x0, M):
+    from tpu_sparse.kernels.pallas_spmv import ExtendedStencilOperator
+    from tpu_sparse.precond.jacobi import _apply_diag
+
+    solver = _SOLVERS[method]
+    op = ExtendedStencilOperator(A)
+    b_ext = op.extend(b)
+    x0_ext = None if x0 is None else op.extend(x0)
+    M_ext = None
+    if M is not None:  # diagonal preconditioner (unit-extended margins)
+        M_ext = Partial(_apply_diag, op.extend_diag(M.args[0]))
+    out = solver(op, b_ext, x0_ext, M=M_ext, **kw)
+    return (op.extract(out[0]),) + tuple(out[1:])
+
+
+def _eks_fwd(method, opts, A, b, x0, M):
+    out = ext_krylov_diff(method, opts, A, b, x0, M)
+    return out, (A, b, x0, M, out[0])
+
+
+def _eks_bwd(method, opts, residuals, cotangents):
+    A, b, x0, M, x = residuals
+    x_bar = cotangents[0]
+    kw = dict(opts)
+    At = _adjoint_matrix(A, _SYMMETRIC[method])
+    M_adj = M if _SYMMETRIC[method] else None
+    v = _ext_run(method, kw, At, x_bar, None, M_adj)[0]
+    grad_b = v
+    from tpu_sparse.kernels import spmv_reference
+
+    _, mv_vjp = jax.vjp(lambda a: spmv_reference(a, x), A)
+    (grad_A,) = mv_vjp(tree_map(lambda u: -u, v))
+    return (grad_A, grad_b, _zero_cotangent(x0), _zero_cotangent(M))
+
+
+ext_krylov_diff.defvjp(_eks_fwd, _eks_bwd)
+
+
 def _callable_solve(method: str, opts: tuple, A_fn: Callable, b, x0, M):
     """Matrix-free path via lax.custom_linear_solve: implicit diff with
     gradients w.r.t. b and anything A_fn closes over."""

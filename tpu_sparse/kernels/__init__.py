@@ -34,8 +34,23 @@ def set_pallas_enabled(enabled: bool) -> None:
 def spmv(A, x: jax.Array) -> jax.Array:
     """y = A @ x for any container / dense matrix."""
     from tpu_sparse.sparse.bell import BELL
+    from tpu_sparse.sparse.cwell import CWELL
 
+    if isinstance(A, CWELL):
+        if _PALLAS_ENABLED and _on_tpu():
+            from tpu_sparse.kernels import pallas_cwell
+
+            y = pallas_cwell.cwell_spmv_pallas(A, x)
+            if y is not None:
+                return y
+        return ref.cwell_spmv(A, x)
     if isinstance(A, BELL):
+        if _PALLAS_ENABLED and _on_tpu():
+            from tpu_sparse.kernels import pallas_bell
+
+            y = pallas_bell.bell_spmv_pallas(A, x)
+            if y is not None:
+                return y
         return ref.bell_spmv(A, x)
     if isinstance(A, DIA):
         if _PALLAS_ENABLED and _on_tpu():
@@ -68,7 +83,10 @@ def spmv_reference(A, x: jax.Array) -> jax.Array:
     carry no JVP rule) — e.g. the pattern-gradient vjp in autodiff.
     """
     from tpu_sparse.sparse.bell import BELL
+    from tpu_sparse.sparse.cwell import CWELL
 
+    if isinstance(A, CWELL):
+        return ref.cwell_spmv(A, x)
     if isinstance(A, BELL):
         return ref.bell_spmv(A, x)
     if isinstance(A, DIA):
@@ -85,7 +103,10 @@ def spmv_reference(A, x: jax.Array) -> jax.Array:
 def spmm(A, B: jax.Array) -> jax.Array:
     """Y = A @ B with dense B (multi-RHS)."""
     from tpu_sparse.sparse.bell import BELL
+    from tpu_sparse.sparse.cwell import CWELL
 
+    if isinstance(A, CWELL):
+        return ref.cwell_spmm(A, B)
     if isinstance(A, BELL):
         if _PALLAS_ENABLED and _on_tpu():
             from tpu_sparse.kernels import pallas_bell

@@ -90,7 +90,21 @@ def bell_spmm_pallas(A: BELL, B: jax.Array):
 
 
 def bell_spmv_pallas(A: BELL, x: jax.Array):
-    """SpMV via the SpMM kernel only when free (k already aligned);
-    otherwise fall back to the XLA einsum path, which is bandwidth-bound
-    anyway for single vectors."""
-    return None
+    """BELL SpMV through the CWELL Pallas kernel: dense blocks repack into
+    column-window ELL at ~100% fill (cached per matrix object, host-side),
+    so the general windowed-gather kernel is the block SpMV kernel too.
+    Returns None under tracing — promote with
+    ``sparse.optimize.to_tpu_operator`` before jit for compiled solvers."""
+    if not _HAS_PALLAS:
+        return None
+    if isinstance(A.blocks, jax.core.Tracer) or \
+            isinstance(x, jax.core.Tracer):
+        return None
+    from tpu_sparse.kernels.pallas_spmv import _cached_cwell_of_block
+
+    W = _cached_cwell_of_block(A)
+    if W is None:
+        return None
+    from tpu_sparse.kernels.pallas_cwell import cwell_spmv_pallas
+
+    return cwell_spmv_pallas(W, x)

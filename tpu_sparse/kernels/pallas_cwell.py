@@ -1,0 +1,163 @@
+"""Pallas CWELL SpMV — general-structure sparse matrices on the TPU VPU.
+
+This is the "cuSPARSE for arbitrary matrices" kernel the north star
+requires (SURVEY.md §2.2; reference reaches cuSPARSE through torch.sparse,
+``solver.py:365``). Mosaic supports exactly one gather shape — same-shape
+``take_along_axis(axis=1)`` (lane gather) — so the CWELL format
+(sparse/cwell.py) pre-arranges every nonzero so that one plane of 128
+values gathers from a 256-wide, 128-aligned column window in a single
+lane-gather pair:
+
+  grid step = RB row blocks (RB·128 rows). Per plane s of each block:
+    1. read the plane's window row ``srow`` from the SMEM-streamed srow
+       block, copy x2d[srow] and x2d[srow+1] (two aligned (1,128) VMEM
+       rows) into an (8,128) window scratch — 8 planes share one scratch
+       pass;
+    2. lane-gather both halves with the plane's idx2 (∈[0,256)), select by
+       idx2<128, multiply by the value plane, accumulate;
+    3. after all planes: y row-block = Σ over the 8 accumulator sublanes.
+
+x stays fully VMEM-resident (f32, m ≤ ~1.5M); vals/idx2 stream through the
+auto-pipelined grid; srow streams as an SMEM block. No scatter exists
+anywhere: output rows are lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu_sparse.sparse.cwell import CWELL, LW
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_INTERPRET = False
+
+# x must stay VMEM-resident next to the streamed plane blocks
+_X_VMEM_LIMIT = 1536 * 1024  # elements (6 MB f32)
+# vals+idx2 bytes per grid step (double-buffered by the pipeline)
+_STEP_BYTES = 2 * 1024 * 1024
+
+
+def _cwell_kernel(srow_ref, x2d_ref, vals_ref, idx2_ref, y_ref, xw,
+                  *, RB, S):
+    """srow_ref: (1, RB, S) SMEM block; x2d_ref: (R, 128) VMEM (whole x);
+    vals_ref/idx2_ref: (RB, S, 128) VMEM blocks; y_ref: (RB, 128);
+    xw: (2*8, 128) VMEM scratch (lo/hi window rows for 8 planes).
+
+    Loops are lax.fori_loops (not Python unrolls): RB·S/8 can reach a few
+    hundred plane-groups per grid step, and Mosaic compile time on the
+    fully unrolled body is minutes."""
+    lax_ = jax.lax
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+    G = S // 8
+
+    def g_body(g, carry):
+        rb, acc = carry
+        base = lax_.mul(g, i32(8))
+        for s in range(8):
+            r = srow_ref[0, rb, lax_.add(base, i32(s))]
+            xw[s, :] = x2d_ref[r, :]
+            xw[8 + s, :] = x2d_ref[lax_.add(r, i32(1)), :]
+        idx = idx2_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
+        lo = jnp.take_along_axis(
+            xw[0:8, :], jnp.minimum(idx, 127), axis=1)
+        hi = jnp.take_along_axis(
+            xw[8:16, :], jnp.clip(idx - 128, 0, 127), axis=1)
+        gathered = jnp.where(idx < 128, lo, hi)
+        acc = acc + vals_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :] * gathered
+        return rb, acc
+
+    def rb_body(rb, _):
+        acc = jnp.zeros((8, LW), jnp.float32)
+        _, acc = lax_.fori_loop(0, G, g_body, (rb, acc))
+        y_ref[rb, :] = jnp.sum(acc, axis=0)
+        return 0
+
+    lax_.fori_loop(0, RB, rb_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "rb"))
+def _cwell_spmv_impl(vals, idx2, srow, x, *, shape, rb):
+    with jax.enable_x64(False):  # 32-bit trace mode for Mosaic
+        return _cwell_spmv_inner(vals, idx2, srow, x, shape=shape, rb=rb)
+
+
+def _cwell_spmv_inner(vals, idx2, srow, x, *, shape, rb):
+    nb, S, _ = vals.shape
+    n, m = shape
+    m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
+    x2d = jnp.pad(x, (0, m_pad - m)).reshape(-1, LW)
+    grid = (nb + rb - 1) // rb
+    nb_pad = grid * rb
+    if nb_pad != nb:
+        vals = jnp.pad(vals, ((0, nb_pad - nb), (0, 0), (0, 0)))
+        idx2 = jnp.pad(idx2, ((0, nb_pad - nb), (0, 0), (0, 0)))
+        srow = jnp.pad(srow, ((0, nb_pad - nb), (0, 0)))
+    # Mosaic constrains the last two block dims to (8,128)-divisible OR
+    # full-array; give srow a leading grid axis so its block IS the full
+    # trailing array.
+    srow3 = srow.reshape(grid, rb, S)
+
+    kernel = functools.partial(_cwell_kernel, RB=rb, S=S)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb_pad, LW), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, rb, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d fully resident
+            pl.BlockSpec((rb, S, LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, S, LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, LW), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((16, LW), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb_pad * S * LW,
+            bytes_accessed=nb_pad * S * LW * 8 + (m_pad + nb_pad * LW) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(srow3, x2d, vals, idx2)
+    return y.reshape(-1)[:n]
+
+
+def _pick_rb(S: int) -> int:
+    per_block = S * LW * 8  # vals f32 + idx2 i32 per row block
+    rb = max((_STEP_BYTES // per_block) // 8 * 8, 8)  # %8: y block sublanes
+    return min(rb, 64)
+
+
+def cwell_spmv_pallas(A: CWELL, x: jax.Array, rb: int | None = None):
+    """Pallas CWELL SpMV; returns None to signal fallback."""
+    if not _HAS_PALLAS:
+        return None
+    n, m = A.shape
+    if A.vals.dtype != jnp.float32:
+        return None  # f64/bf16 stay on the XLA path for now
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
+    if m_pad > _X_VMEM_LIMIT:
+        return None
+    if A.planes % 8 != 0:
+        return None
+    return _cwell_spmv_impl(A.vals, A.idx2, A.srow, x, shape=A.shape,
+                            rb=rb if rb is not None else _pick_rb(A.planes))

@@ -187,7 +187,71 @@ def dia_spmv_pallas(A: DIA, x: jax.Array):
 
 
 def bsr_spmv_pallas(A: BSR, x: jax.Array):
-    return None
+    """BSR SpMV through the CWELL Pallas kernel.
+
+    Dense bs×bs blocks pack into CWELL at ~100% fill (each block is a
+    perfectly windowed run of columns), so the general column-window
+    kernel IS the block kernel for SpMV. The host-side repack is cached
+    per matrix object; under jit (traced data) it cannot run — promote
+    block operators with `sparse.optimize.to_tpu_operator` before jit to
+    get the fast path inside compiled solvers."""
+    if not _HAS_PALLAS:
+        return None
+    if isinstance(A.data, jax.core.Tracer) or \
+            isinstance(x, jax.core.Tracer):
+        return None
+    W = _cached_cwell_of_block(A)
+    if W is None:
+        return None
+    from tpu_sparse.kernels.pallas_cwell import cwell_spmv_pallas
+
+    return cwell_spmv_pallas(W, x)
+
+
+_block_cwell_cache: dict = {}
+
+
+def _cached_cwell_of_block(A):
+    """CWELL repack of a BSR/BELL matrix, cached per live matrix object."""
+    import weakref
+
+    from tpu_sparse.sparse.cwell import csr_to_cwell
+
+    entry = _block_cwell_cache.get(id(A))
+    if entry is not None and entry[0]() is A:
+        return entry[1]
+    import numpy as np
+
+    try:
+        if isinstance(A, BSR):
+            csr = A.tocoo().tocsr()
+        else:  # BELL: expand blocks to COO on host, dropping padding zeros
+            from tpu_sparse.sparse.containers import COO
+
+            bl = np.asarray(A.blocks)
+            bidx = np.asarray(A.indices)
+            nbr, L, bs, _ = bl.shape
+            rows = (np.arange(nbr)[:, None, None, None] * bs
+                    + np.arange(bs)[None, None, :, None])
+            cols = (bidx[:, :, None, None] * bs
+                    + np.arange(bs)[None, None, None, :])
+            rows = np.broadcast_to(rows, bl.shape)
+            cols = np.broadcast_to(cols, bl.shape)
+            mask = bl != 0
+            csr = COO(jnp.asarray(bl[mask]),
+                      jnp.asarray(rows[mask].astype(np.int32)),
+                      jnp.asarray(cols[mask].astype(np.int32)),
+                      A.shape).tocsr()
+        W = csr_to_cwell(csr)
+    except Exception:
+        W = None
+    if len(_block_cwell_cache) > 16:
+        _block_cwell_cache.clear()
+    try:
+        _block_cwell_cache[id(A)] = (weakref.ref(A), W)
+    except TypeError:
+        return W
+    return W
 
 
 # ---------------------------------------------------------------------------

@@ -124,6 +124,31 @@ def bell_spmm(A, B: jax.Array) -> jax.Array:
     return prods.reshape(A.shape[0], B.shape[1])
 
 
+def cwell_spmv(A, x: jax.Array) -> jax.Array:
+    """CWELL SpMV via XLA gather — the correctness oracle for the Pallas
+    kernel and the differentiable/general-backend path."""
+    from tpu_sparse.sparse.cwell import LW
+
+    n, m = A.shape
+    gc = A.srow[:, :, None].astype(jnp.int32) * LW + A.idx2  # (nb, S, 128)
+    xg = jnp.take(x, gc.reshape(-1), mode="fill",
+                  fill_value=0).reshape(gc.shape)
+    y = jnp.sum(A.vals * xg.astype(A.vals.dtype), axis=1)  # (nb, 128)
+    return y.reshape(-1)[:n]
+
+
+def cwell_spmm(A, B: jax.Array) -> jax.Array:
+    from tpu_sparse.sparse.cwell import LW
+
+    n, m = A.shape
+    k = B.shape[1]
+    gc = A.srow[:, :, None].astype(jnp.int32) * LW + A.idx2
+    Bg = jnp.take(B, gc.reshape(-1), axis=0, mode="fill",
+                  fill_value=0).reshape(gc.shape + (k,))
+    y = jnp.sum(A.vals[..., None] * Bg.astype(A.vals.dtype), axis=1)
+    return y.reshape(-1, k)[:n]
+
+
 def bsr_spmm(A: BSR, B: jax.Array) -> jax.Array:
     bs = A.blocksize
     k = B.shape[1]

@@ -100,6 +100,9 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
     thresh = jnp.maximum(tol * b_norm, atol)
     out_dtype = _first_dtype(b)
 
+    _inner = _make_inner(inner_solver, A32, M32, inner_tol, maxiter,
+                         inner_kwargs)
+
     x = tree_zeros_like(b) if x0 is None else x0
     res_norm = tree_norm(tree_sub(b, A_fn(x)))
     inner_iters = jnp.array(0, jnp.int32)
@@ -111,9 +114,7 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
         rhs32 = _cast_tree(
             tree_map(lambda leaf: jnp.where(done, 0.0, leaf), r),
             inner_dtype)
-        d32, _, it, _ = inner_solver(
-            A32, rhs32, None, tol=inner_tol, maxiter=maxiter, M=M32,
-            **inner_kwargs)
+        d32, _, it, _ = _inner(rhs32)
         # Accept the sweep only if it actually reduced the true residual
         # (an inner f32 breakdown can return a finite but useless update);
         # a rejected sweep marks the solve stalled and stops refining.
@@ -153,6 +154,57 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
 
 def _first_dtype(tree):
     return jax.tree_util.tree_leaves(tree)[0].dtype
+
+
+def _make_inner(inner_solver, A32, M32, inner_tol, maxiter, inner_kwargs):
+    """Build the per-sweep inner solve closure. On TPU, f32 DIA systems
+    (with no/diagonal preconditioner) run through the halo-extended Pallas
+    operator so every inner iteration uses the pad-free SpMV fast path
+    (round-1 gap: mixed-precision inner solves ran the pad-per-call
+    kernel)."""
+    from tpu_sparse import kernels as _kernels
+    from tpu_sparse.sparse.containers import DIA
+
+    def _diag_partial(M):
+        from jax.tree_util import Partial
+
+        from tpu_sparse.precond.jacobi import _apply_diag
+
+        return M is None or (isinstance(M, Partial)
+                             and M.func is _apply_diag)
+
+    use_ext = (
+        isinstance(A32, DIA)
+        and _kernels._PALLAS_ENABLED
+        and jax.default_backend() == "tpu"
+        and A32.data.dtype in (jnp.float32, jnp.bfloat16)
+        and A32.shape[0] == A32.shape[1]
+        and bool(A32.offsets)
+        and max(abs(o) for o in A32.offsets) < A32.shape[0]
+        and _diag_partial(M32)
+    )
+    if use_ext:
+        from jax.tree_util import Partial
+
+        from tpu_sparse.kernels.pallas_spmv import ExtendedStencilOperator
+        from tpu_sparse.precond.jacobi import _apply_diag
+
+        op32 = ExtendedStencilOperator(A32)
+        M32e = None if M32 is None else Partial(
+            _apply_diag, op32.extend_diag(M32.args[0]))
+
+        def _inner(rhs):
+            out = inner_solver(op32, op32.extend(rhs), None, tol=inner_tol,
+                               maxiter=maxiter, M=M32e, **inner_kwargs)
+            return (op32.extract(out[0]),) + tuple(out[1:])
+
+        return _inner
+
+    def _inner(rhs):
+        return inner_solver(A32, rhs, None, tol=inner_tol, maxiter=maxiter,
+                            M=M32, **inner_kwargs)
+
+    return _inner
 
 
 def cg_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,

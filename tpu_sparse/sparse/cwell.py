@@ -1,0 +1,237 @@
+"""CWELL — column-window ELL: the TPU-regular form of general CSR.
+
+This is the general-structure (unstructured CSR/COO) SpMV format the
+north star requires beyond stencils (SURVEY.md §2.2: the cuSPARSE
+capability row; reference reaches it through torch.sparse —
+``/root/reference/src/pytorch_sparse_solver/solver.py:365``,
+``utils/matrix_utils.py:279``). The reference needs no special format
+because cuSPARSE has hardware gather/scatter; the TPU VPU has neither, so
+the format itself must make every memory access regular:
+
+* Rows are grouped into **blocks of 128** (the lane dimension) — output
+  row ``i`` of a block lives in lane ``i % 128``, so the result of a block
+  is one dense 128-vector: no scatter anywhere.
+* Each nonzero is assigned to a **column window** of 256 consecutive
+  columns aligned to 128 (two sublane rows of the x operand reshaped to
+  ``(m/128, 128)``). Within a (block, window) pair, a row's nonzeros get
+  consecutive **planes**; plane ``s`` of a block is a dense ``(128,)``
+  value vector + ``(128,)`` local-index vector, so gathering x for one
+  plane is a single same-shape lane gather (``take_along_axis(axis=1)``)
+  from a 256-wide VMEM window — the only gather primitive Mosaic
+  supports.
+* Planes are padded to a common count ``S`` per matrix; ``fill`` =
+  nnz / total slots measures the padding overhead. Matrices with column
+  locality (any PDE/graph matrix, ideally RCM-ordered) pack at 50-95%
+  fill; fully random sparsity packs poorly and should stay on the XLA
+  segment-sum path (the dispatcher checks ``fill``).
+
+Arrays:
+  vals:  (n_blocks, S, 128) dtype — slot values (0 in padding slots)
+  idx2:  (n_blocks, S, 128) int32 — column offset within the plane's
+         256-wide window: global col = srow*128 + idx2, idx2 ∈ [0, 256)
+  srow:  (n_blocks, S) int32 — window start row of x2d = x.reshape(-1,128),
+         clamped to [0, m_pad/128 - 2] so rows srow and srow+1 both exist
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sparse.sparse.containers import CSR, SPARSE_TYPES
+
+LW = 128        # lanes per row block
+WIN = 256       # window width in columns (two x2d rows)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+class CWELL:
+    """Column-window ELL matrix (see module docstring)."""
+
+    def __init__(self, vals, idx2, srow, shape, nnz=None, fill=None):
+        self.vals = vals
+        self.idx2 = idx2
+        self.srow = srow
+        self.shape = tuple(int(s) for s in shape)
+        self._nnz = None if nnz is None else int(nnz)
+        self.fill = None if fill is None else float(fill)
+
+    def tree_flatten(self):
+        return (self.vals, self.idx2, self.srow), (
+            self.shape, self._nnz, self.fill)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0],
+                   nnz=aux[1], fill=aux[2])
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def planes(self) -> int:
+        return int(self.vals.shape[1])
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nnz(self) -> int:
+        if self._nnz is not None:
+            return self._nnz
+        return int(np.count_nonzero(np.asarray(self.vals)))
+
+    def with_data(self, vals) -> "CWELL":
+        return CWELL(vals, self.idx2, self.srow, self.shape,
+                     nnz=self._nnz, fill=self.fill)
+
+    # -- conversions --------------------------------------------------------
+
+    def gcols(self) -> jax.Array:
+        """Global column index per slot: (n_blocks, S, 128) int32."""
+        return self.srow[:, :, None] * LW + self.idx2
+
+    def tocsr(self) -> CSR:
+        """Host-side conversion back to CSR (drops padding slots)."""
+        import scipy.sparse as sp
+
+        vals = np.asarray(self.vals)
+        gc = np.asarray(self.gcols())
+        n, m = self.shape
+        nb, S, _ = vals.shape
+        rows = np.broadcast_to(
+            (np.arange(nb)[:, None, None] * LW
+             + np.arange(LW)[None, None, :]), vals.shape)
+        mask = vals != 0
+        A = sp.coo_matrix(
+            (vals[mask], (rows[mask], gc[mask])), shape=(nb * LW, m)
+        ).tocsr()[:n]
+        A.sum_duplicates()
+        A = A.tocsr()
+        from tpu_sparse.sparse.convert import csr_from_arrays
+
+        return csr_from_arrays(A.data, A.indices, A.indptr, (n, m))
+
+    def todense(self) -> jax.Array:
+        return jnp.asarray(self.tocsr().todense())
+
+    @property
+    def T(self) -> "CWELL":
+        """Transpose (host-side repack; not jit-safe)."""
+        return csr_to_cwell(self.tocsr().T)
+
+    def __matmul__(self, x):
+        from tpu_sparse.kernels import spmv, spmm
+
+        if x.ndim == 1:
+            return spmv(self, x)
+        return spmm(self, x)
+
+    def __repr__(self):
+        return (f"CWELL(shape={self.shape}, blocks={self.n_blocks}, "
+                f"S={self.planes}, fill={self.fill})")
+
+
+def csr_to_cwell(A: CSR, *, plane_pad: int = 8) -> CWELL:
+    """Pack a CSR matrix into CWELL (host-side, vectorized numpy).
+
+    Window assignment is fixed 256-column buckets (window w covers columns
+    [256w, 256w+256)); within each (row-block, window) a row's k nonzeros
+    occupy planes base..base+k-1 where base is the window's plane offset in
+    the block. Runs in O(nnz log nnz).
+    """
+    indptr = np.asarray(A.indptr, dtype=np.int64)
+    cols = np.asarray(A.indices, dtype=np.int64)
+    data = np.asarray(A.data)
+    n, m = A.shape
+    nnz = cols.shape[0]
+    nb = max(_round_up(n, LW) // LW, 1)
+    m_pad = max(_round_up(m, LW), 2 * LW)
+    rmax = m_pad // LW - 2  # max srow so srow+1 is a valid x2d row
+
+    if nnz == 0:
+        vals = np.zeros((nb, plane_pad, LW), dtype=data.dtype)
+        idx2 = np.zeros((nb, plane_pad, LW), dtype=np.int32)
+        srow = np.zeros((nb, plane_pad), dtype=np.int32)
+        return CWELL(jnp.asarray(vals), jnp.asarray(idx2),
+                     jnp.asarray(srow), (n, m), nnz=0, fill=0.0)
+
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    block = rows // LW
+    lrow = rows % LW
+    win = cols // WIN
+    nwin = m // WIN + 2
+
+    # sort by (block, window, row, col): ranks within (block, window, row)
+    # are then positions within contiguous runs
+    key_bw = block * nwin + win
+    order = np.lexsort((cols, lrow, key_bw))
+    b_s, w_s, r_s = block[order], win[order], lrow[order]
+    c_s, v_s = cols[order], data[order]
+
+    # rank of each nnz within its (block, window, row) group
+    key_bwr = (key_bw[order]) * LW + r_s
+    grp_start = np.r_[True, key_bwr[1:] != key_bwr[:-1]]
+    idx_all = np.arange(nnz, dtype=np.int64)
+    first_of_grp = np.maximum.accumulate(np.where(grp_start, idx_all, 0))
+    rank = idx_all - first_of_grp
+
+    # planes needed per (block, window) = max rank + 1 within the window
+    key_bw_s = key_bw[order]
+    win_start = np.r_[True, key_bw_s[1:] != key_bw_s[:-1]]
+    win_ids = np.cumsum(win_start) - 1                   # dense window ids
+    nwins_total = int(win_ids[-1]) + 1
+    planes_per_win = np.zeros(nwins_total, dtype=np.int64)
+    np.maximum.at(planes_per_win, win_ids, rank + 1)
+
+    # plane base per window = cumulative planes within each block
+    win_first = np.flatnonzero(win_start)                # first slot per win
+    win_block = b_s[win_first]
+    csum = np.concatenate([[0], np.cumsum(planes_per_win)])
+    blk_first_win = np.r_[True, win_block[1:] != win_block[:-1]]
+    blk_base_per_win = np.maximum.accumulate(
+        np.where(blk_first_win, csum[:-1], 0))
+    win_base = csum[:-1] - blk_base_per_win              # base within block
+
+    plane = win_base[win_ids] + rank                     # (nnz,) per slot
+    S_per_block = np.zeros(nb, dtype=np.int64)
+    np.maximum.at(S_per_block, b_s, plane + 1)
+    S = int(_round_up(max(int(S_per_block.max()), 1), plane_pad))
+
+    sr = np.minimum(w_s * 2, rmax).astype(np.int32)      # window start row
+    i2 = (c_s - sr.astype(np.int64) * LW).astype(np.int32)
+
+    vals = np.zeros((nb, S, LW), dtype=data.dtype)
+    idx2 = np.zeros((nb, S, LW), dtype=np.int32)
+    srow = np.zeros((nb, S), dtype=np.int32)
+    vals[b_s, plane, r_s] = v_s
+    idx2[b_s, plane, r_s] = i2
+    srow[b_s, plane] = sr
+
+    fill = nnz / float(nb * S * LW)
+    return CWELL(jnp.asarray(vals), jnp.asarray(idx2), jnp.asarray(srow),
+                 (n, m), nnz=nnz, fill=fill)
+
+
+def rcm_permutation(A: CSR) -> np.ndarray:
+    """Reverse-Cuthill-McKee ordering (host, scipy) — bandwidth/locality
+    reduction so arbitrary matrices pack into CWELL at high fill."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    S = sp.csr_matrix(
+        (np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr)),
+        shape=A.shape)
+    return np.asarray(reverse_cuthill_mckee(S, symmetric_mode=False))
+
+
+SPARSE_TYPES.append(CWELL)

@@ -4,8 +4,13 @@
 operator construction) and promotes it to the fastest TPU format:
 
 1. stencil-structured (few distinct diagonals) → DIA (Pallas fast path);
-2. block-structured (dense blocks fill well)   → BELL (MXU block kernel);
-3. otherwise                                   → CSR (XLA segment-sum).
+2. anything with column locality (fill ≥ threshold after packing,
+   optionally RCM-reordered)                   → CWELL (Pallas windowed
+                                                 lane-gather kernel);
+3. block-structured (dense blocks fill well)   → BELL (MXU block SpMM
+                                                 kernel; SpMV repacks to
+                                                 CWELL);
+4. otherwise                                   → CSR (XLA segment-sum).
 
 This is the user-facing answer to "what replaces cuSPARSE for arbitrary
 matrices": pick the structure the hardware can exploit, fall back to the
@@ -21,6 +26,7 @@ import numpy as np
 from tpu_sparse.sparse.bell import BELL, bsr_to_bell
 from tpu_sparse.sparse.containers import BSR, COO, CSR, DIA
 from tpu_sparse.sparse.convert import csr_to_bsr, csr_to_dia, to_csr
+from tpu_sparse.sparse.cwell import CWELL, csr_to_cwell
 
 
 def _block_fill_ratio(A: CSR, bs: int) -> float:
@@ -37,9 +43,10 @@ def _block_fill_ratio(A: CSR, bs: int) -> float:
 
 def to_tpu_operator(A, *, max_diags: int = 64, block_size: int = 8,
                     min_block_fill: float = 0.35,
-                    verbose: bool = False) -> Union[DIA, BELL, CSR]:
+                    min_cwell_fill: float = 0.25,
+                    verbose: bool = False) -> Union[DIA, BELL, CWELL, CSR]:
     """Promote ``A`` to the best TPU format (host-side analysis)."""
-    if isinstance(A, (DIA, BELL)):
+    if isinstance(A, (DIA, BELL, CWELL)):
         return A
     Ac = to_csr(A)
     n, m = Ac.shape
@@ -50,6 +57,13 @@ def to_tpu_operator(A, *, max_diags: int = 64, block_size: int = 8,
             print(f"[to_tpu_operator] DIA with {dia.ndiag} diagonals")
         return dia
 
+    cw = csr_to_cwell(Ac)
+    if cw.fill >= min_cwell_fill:
+        if verbose:
+            print(f"[to_tpu_operator] CWELL fill={cw.fill:.2f} "
+                  f"S={cw.planes}")
+        return cw
+
     if n % block_size == 0 and m % block_size == 0:
         fill = _block_fill_ratio(Ac, block_size)
         if fill >= min_block_fill:
@@ -59,5 +73,6 @@ def to_tpu_operator(A, *, max_diags: int = 64, block_size: int = 8,
             return bsr_to_bell(csr_to_bsr(Ac, block_size))
 
     if verbose:
-        print("[to_tpu_operator] CSR general path")
+        print(f"[to_tpu_operator] CSR general path "
+              f"(CWELL fill {cw.fill:.2f} below {min_cwell_fill})")
     return Ac
