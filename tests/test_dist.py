@@ -179,3 +179,34 @@ def test_distributed_cg_wide_bandwidth_degrades_to_allgather(mesh):
     assert int(info) == 0
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_distributed_amg_sharded_hierarchy(mesh):
+    """Round-2: every AMG level row-sharded (CWELL block sharding), not
+    replicated. Must converge identically to the replicated-hierarchy PCG."""
+    from tpu_sparse.dist.amg import (
+        distributed_amg_preconditioner,
+        shard_amg_hierarchy,
+    )
+    from tpu_sparse.precond.amg import amg_setup
+    from tpu_sparse.sparse.cwell import CWELL
+
+    A = generators.poisson2d(16)
+    b = A @ jnp.asarray(np.random.default_rng(9).standard_normal(256))
+    M = distributed_amg_preconditioner(A, mesh)
+    # levels really are sharded CWELL matrices
+    hier = M.args[0]
+    assert len(hier.levels) >= 1
+    for lvl in hier.levels[1:]:
+        assert isinstance(lvl.A, CWELL)
+        shard_names = {
+            s for leaf in (lvl.A.vals,)
+            for s in [leaf.sharding]
+        }
+        assert all("rows" in str(s.spec) for s in shard_names), shard_names
+    x, info, iters, res = distributed_cg(A, b, mesh=mesh, mode="gspmd",
+                                         tol=1e-8, M=M)
+    assert int(info) == 0
+    rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+    assert rel < 1e-6
+    assert int(iters) < 40

@@ -36,8 +36,8 @@ def _build() -> Optional[str]:
     so_path = os.path.join(_cache_dir(), f"amg_setup_{tag}.so")
     if os.path.exists(so_path):
         return so_path
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", so_path + ".tmp"]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           _SRC, "-o", so_path + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(so_path + ".tmp", so_path)

@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -83,41 +84,101 @@ int64_t ts_aggregate(int64_t n, const int32_t* indptr,
 }
 
 // Galerkin RAP for a piecewise-constant (unsmoothed-aggregation)
-// prolongator: Ac[agg[i], agg[j]] = sum A[i, j]. One relabel + sort +
-// coalesce pass; caller provides output buffers of capacity >= nnz(A).
-// Returns nnz(Ac), or -1 if the capacity is insufficient.
+// prolongator: Ac[agg[i], agg[j]] = sum A[i, j]. Parallel by contiguous
+// coarse-row ranges (std::thread), balanced by entry counts; each range is
+// gathered, sorted and coalesced independently, so the output is
+// bit-identical for a fixed thread count (and identical in structure to
+// the sequential global sort). Caller provides output buffers of capacity
+// >= nnz(A). Returns nnz(Ac), or -1 if the capacity is insufficient.
 int64_t ts_rap_pc(int64_t n, int64_t nc, const int32_t* indptr,
                   const int32_t* indices, const double* data,
                   const int64_t* agg, int32_t* indptr_c, int32_t* indices_c,
                   double* data_c, int64_t cap) {
   int64_t nnz = indptr[n];
-  std::vector<std::pair<int64_t, double>> entries;
-  entries.reserve(nnz);
+
+  // Group fine rows by coarse row (counting sort; deterministic order).
+  std::vector<int64_t> grp_cnt(nc + 1, 0);       // entries per coarse row
+  std::vector<int64_t> row_cnt(nc + 1, 0);       // fine rows per coarse row
   for (int64_t i = 0; i < n; ++i) {
-    int64_t r = agg[i];
-    for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k)
-      entries.emplace_back(r * nc + agg[indices[k]], data[k]);
+    row_cnt[agg[i] + 1]++;
+    grp_cnt[agg[i] + 1] += indptr[i + 1] - indptr[i];
   }
-  std::sort(entries.begin(), entries.end(),
-            [](const auto& a, const auto& b) { return a.first < b.first; });
+  for (int64_t r = 0; r < nc; ++r) {
+    row_cnt[r + 1] += row_cnt[r];
+    grp_cnt[r + 1] += grp_cnt[r];
+  }
+  std::vector<int64_t> rows_by_agg(n);
+  {
+    std::vector<int64_t> cur(row_cnt.begin(), row_cnt.end() - 1);
+    for (int64_t i = 0; i < n; ++i) rows_by_agg[cur[agg[i]]++] = i;
+  }
+
+  int nt = (int)std::min<int64_t>(
+      std::max(1u, std::thread::hardware_concurrency()),
+      std::max<int64_t>(nnz / (1 << 18), 1));
+  // Contiguous coarse-row ranges with ~equal entry counts.
+  std::vector<int64_t> range(nt + 1, nc);
+  range[0] = 0;
+  for (int t = 1; t < nt; ++t) {
+    int64_t target = grp_cnt[nc] * t / nt;
+    range[t] = std::lower_bound(grp_cnt.begin(), grp_cnt.begin() + nc + 1,
+                                target) - grp_cnt.begin();
+    if (range[t] > nc) range[t] = nc;
+  }
+  for (int t = 1; t <= nt; ++t) range[t] = std::max(range[t], range[t - 1]);
+
+  std::vector<std::vector<int32_t>> out_idx(nt);
+  std::vector<std::vector<double>> out_val(nt);
+  std::vector<std::vector<int32_t>> out_rcnt(nt);  // nnz per coarse row
+
+  auto work = [&](int t) {
+    std::vector<std::pair<int32_t, double>> buf;
+    out_rcnt[t].assign(range[t + 1] - range[t], 0);
+    for (int64_t r = range[t]; r < range[t + 1]; ++r) {
+      buf.clear();
+      for (int64_t q = row_cnt[r]; q < row_cnt[r + 1]; ++q) {
+        int64_t i = rows_by_agg[q];
+        for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k)
+          buf.emplace_back((int32_t)agg[indices[k]], data[k]);
+      }
+      std::sort(buf.begin(), buf.end(),
+                [](const auto& a, const auto& b) {
+                  return a.first < b.first ||
+                         (a.first == b.first && a.second < b.second);
+                });
+      int32_t cnt = 0;
+      for (size_t k = 0; k < buf.size();) {
+        int32_t c = buf[k].first;
+        double v = 0.0;
+        while (k < buf.size() && buf[k].first == c) v += buf[k++].second;
+        out_idx[t].push_back(c);
+        out_val[t].push_back(v);
+        ++cnt;
+      }
+      out_rcnt[t][r - range[t]] = cnt;
+    }
+  };
+  if (nt == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
 
   int64_t out = 0;
-  for (int64_t k = 0; k < (int64_t)entries.size();) {
-    int64_t key = entries[k].first;
-    double v = 0.0;
-    while (k < (int64_t)entries.size() && entries[k].first == key)
-      v += entries[k++].second;
-    if (out >= cap) return -1;
-    indices_c[out] = (int32_t)(key % nc);
-    data_c[out] = v;
-    // stash the coarse row temporarily in indptr space via counts below
-    entries[out].first = key / nc;  // reuse as row id storage
-    ++out;
+  for (int t = 0; t < nt; ++t) out += (int64_t)out_idx[t].size();
+  if (out > cap) return -1;
+
+  indptr_c[0] = 0;
+  int64_t pos = 0, rr = 0;
+  for (int t = 0; t < nt; ++t) {
+    std::copy(out_idx[t].begin(), out_idx[t].end(), indices_c + pos);
+    std::copy(out_val[t].begin(), out_val[t].end(), data_c + pos);
+    pos += (int64_t)out_idx[t].size();
+    for (int64_t r = range[t]; r < range[t + 1]; ++r, ++rr)
+      indptr_c[rr + 1] = indptr_c[rr] + out_rcnt[t][r - range[t]];
   }
-  // build indptr_c from row ids
-  for (int64_t r = 0; r <= nc; ++r) indptr_c[r] = 0;
-  for (int64_t k = 0; k < out; ++k) ++indptr_c[entries[k].first + 1];
-  for (int64_t r = 0; r < nc; ++r) indptr_c[r + 1] += indptr_c[r];
   return out;
 }
 
