@@ -123,9 +123,34 @@ def main():
         "cg_residual": float(res),
     })
 
-    # --- optional: >100M-nnz 27-pt CG (north-star target), env-gated since
-    # the first compile+upload takes ~6 min on the remote runtime ---
-    if os.environ.get("TPU_SPARSE_BENCH_BIG") == "1":
+    # --- general-structure (CWELL) Pallas SpMV: the cuSPARSE-capability
+    # path for arbitrary matrices, measured on the 27-pt system packed as
+    # a general CSR (no stencil structure assumed) ---
+    try:
+        from tpu_sparse.kernels.pallas_cwell import cwell_spmv_pallas
+        from tpu_sparse.sparse.convert import to_csr
+        from tpu_sparse.sparse.cwell import csr_to_cwell
+
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            Wg = csr_to_cwell(to_csr(generators.poisson3d_27pt(
+                64, dtype=np.float32)))
+        Wg = jax.device_put(Wg, jax.devices()[0])
+        vg = jnp.asarray(rng.standard_normal(
+            Wg.shape[0]).astype(np.float32))
+        if cwell_spmv_pallas(Wg, vg) is not None:
+            dtg = per_iter_time(
+                lambda y: cwell_spmv_pallas(Wg, y) * scale, vg)
+            extra.update({
+                "cwell_general_spmv_gnnz_per_s": round(
+                    Wg.nnz / dtg / 1e9, 2),
+                "cwell_general_spmv_us": round(dtg * 1e6, 1),
+            })
+    except Exception as e:  # pragma: no cover - never fail the bench
+        extra["cwell_general_spmv_error"] = str(e)[:120]
+
+    # --- >100M-nnz 27-pt CG time-to-tol (north-star target) ---
+    try:
         jax.config.update("jax_enable_x64", False)
         Abig = generators.poisson3d_27pt(160, dtype=np.float32)
         from tpu_sparse.solvers import cg_full
@@ -138,13 +163,76 @@ def main():
         t_big = wall_time(gbig, Abig, bb, warmup=1, iters=3)
         xg, info_b, it_b, res_b = gbig(Abig, bb)
         extra.update({
-            "big_cg_nnz": int(Abig.nnz),
-            "big_cg_wall_ms": round(t_big * 1e3, 1),
-            "big_cg_iters": int(it_b),
-            "big_cg_converged": bool(int(info_b) == 0),
-            "big_cg_gnnz_per_s_effective": round(
+            "cg_110M_nnz": int(Abig.nnz),
+            "cg_110M_ms": round(t_big * 1e3, 1),
+            "cg_110M_iters": int(it_b),
+            "cg_110M_converged": bool(int(info_b) == 0),
+            "cg_110M_gnnz_per_s_effective": round(
                 Abig.nnz * int(it_b) / t_big / 1e9, 1),
         })
+        del Abig, xb, bb, xg
+    except Exception as e:  # pragma: no cover
+        extra["cg_110M_error"] = str(e)[:120]
+
+    # --- f64 SpMV (XLA DIA path; reference defaults to fp64 —
+    # torch_sparse_linalg.py:57-58). Pallas kernels are f32/bf16; f64
+    # runs the shifted-add XLA path, reported here for parity ---
+    try:
+        jax.config.update("jax_enable_x64", True)
+        A64 = generators.poisson3d_27pt(64)
+        v64 = jnp.asarray(rng.standard_normal(A64.shape[0]))
+        s64 = np.float64(1.0 / 27.0)
+        dt64 = per_iter_time(lambda y: spmv(A64, y) * s64, v64)
+        extra.update({
+            "spmv_f64_gnnz_per_s": round(A64.nnz / dt64 / 1e9, 2),
+            "spmv_f64_n": int(A64.shape[0]),
+        })
+        del A64, v64
+    except Exception as e:  # pragma: no cover
+        extra["spmv_f64_error"] = str(e)[:120]
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # --- weak-scaling sweep on the virtual CPU mesh (subprocess: the
+    # device count must be fixed before backend init). On one host this
+    # validates collective mechanics/communication volume, not hardware
+    # scaling — this machine has 4 cores serving all 8 virtual devices ---
+    try:
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8"
+                            ).strip()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_tools", "scaling.py"),
+             "--cpu", "--devices", "1", "2", "4", "8",
+             "--nx-per-device", "32"],
+            capture_output=True, text=True, timeout=900, env=env)
+        rows = []
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+        if rows:
+            extra["weak_scaling_cpu_sim"] = [
+                {"devices": r["devices"],
+                 "gnnz_per_s": r["gnnz_per_s"],
+                 "efficiency": r["weak_scaling_efficiency"]}
+                for r in rows]
+            extra["weak_scaling_cpu_sim_note"] = (
+                "virtual 8-device mesh on a 4-core host; validates "
+                "halo-exchange mechanics, not ICI bandwidth")
+        elif proc.returncode != 0:
+            extra["weak_scaling_error"] = (proc.stderr or "")[-160:]
+    except Exception as e:  # pragma: no cover
+        extra["weak_scaling_error"] = str(e)[:120]
 
     out = {
         "metric": "spmv_27pt_poisson3d_gnnz_per_s",
