@@ -182,3 +182,36 @@ def test_chebyshev_and_neumann_preconditioners():
         x, info, iters, _ = cg_full(A, b, tol=1e-8, M=M)
         assert int(info) == 0
         assert int(iters) < int(it_plain)
+
+
+def test_smoothed_aggregation_pcg():
+    """Jacobi-smoothed aggregation (SA) prolongators: converges, and the
+    smoothed hierarchy needs no more PCG iterations than plain
+    aggregation on an anisotropic diffusion problem (the case SA exists
+    for)."""
+    from tpu_sparse.precond.amg import amg_preconditioner
+    from tpu_sparse.solvers import cg_full
+    from tpu_sparse.sparse.convert import to_csr
+
+    # anisotropic 2-D Poisson: -u_xx - eps*u_yy
+    import scipy.sparse as sp
+
+    nx = 16
+    eps = 0.01
+    Ix = sp.eye(nx)
+    T = sp.diags([-1, 2, -1], [-1, 0, 1], shape=(nx, nx))
+    A_sp = (sp.kron(Ix, T) + eps * sp.kron(T, Ix)).tocsr()
+    from tpu_sparse.sparse.convert import csr_from_arrays
+
+    A = csr_from_arrays(A_sp.data, A_sp.indices, A_sp.indptr, A_sp.shape)
+    n = A.shape[0]
+    b = jnp.asarray(np.random.default_rng(12).standard_normal(n))
+
+    M_plain = amg_preconditioner(A, smoothed=False)
+    M_sa = amg_preconditioner(A, smoothed=True)
+    x_p, info_p, it_p, _ = cg_full(A, b, tol=1e-8, M=M_plain, maxiter=400)
+    x_s, info_s, it_s, _ = cg_full(A, b, tol=1e-8, M=M_sa, maxiter=400)
+    assert int(info_s) == 0
+    assert int(it_s) <= int(it_p)
+    res = float(jnp.linalg.norm(b - A @ x_s) / jnp.linalg.norm(b))
+    assert res < 1e-6

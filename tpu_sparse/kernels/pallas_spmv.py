@@ -434,6 +434,9 @@ class ExtendedStencilOperator:
                 bytes_accessed=(ndiag + 2) * self.n_pad * 4,
                 transcendentals=0,
             ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
             interpret=_INTERPRET,
         )(x_ext, self.data_p)
 

@@ -121,15 +121,52 @@ class AMGHierarchy(NamedTuple):
         return len(self.levels) + 1
 
 
+def _rho_dinv_a(A_sp: sp.csr_matrix, iters: int = 10) -> float:
+    """Spectral-radius estimate of D⁻¹A by power iteration (host)."""
+    d = A_sp.diagonal()
+    dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 1.0)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(A_sp.shape[0])
+    v /= np.linalg.norm(v)
+    rho = 1.0
+    for _ in range(iters):
+        v = dinv * (A_sp @ v)
+        nv = np.linalg.norm(v)
+        if nv == 0:
+            break
+        rho, v = nv, v / nv
+    return float(max(rho, 1e-12))
+
+
+def _smooth_prolongator(A_sp: sp.csr_matrix,
+                        P_tent: sp.csr_matrix) -> sp.csr_matrix:
+    """Jacobi-smoothed aggregation: P = (I − ω D⁻¹A) P_tent with
+    ω = 4/(3ρ(D⁻¹A)). Improves interpolation for tougher elliptic
+    problems at the cost of a denser hierarchy (classic SA; the
+    reference's AMGX config uses plain aggregation, torch_amgx.py:50-73 —
+    this is an extension)."""
+    d = A_sp.diagonal()
+    dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 1.0)
+    omega = 4.0 / (3.0 * _rho_dinv_a(A_sp))
+    AP = (A_sp @ P_tent).tocsr()
+    P = (P_tent - sp.diags(omega * dinv) @ AP).tocsr()
+    P.sum_duplicates()
+    return P
+
+
 def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
               max_levels: int = 50, coarse_size: int = 16,
-              use_native: Optional[bool] = None) -> AMGHierarchy:
+              use_native: Optional[bool] = None,
+              smoothed: bool = False) -> AMGHierarchy:
     """Build the AMG hierarchy on host. ``A`` must be concrete (not traced).
 
     The graph phase (strength + aggregation + Galerkin RAP) runs in the
     in-repo C++ kernels (tpu_sparse/native/amg_setup.cc) when the toolchain
     is available — the native-setup counterpart of AMGX's C++ setup phase —
     with a scipy fallback. Set use_native=False to force the fallback.
+    ``smoothed=True`` selects Jacobi-smoothed aggregation (SA) prolongators
+    (the Galerkin products then run through scipy: the native RAP kernel
+    exploits piecewise-constant tentative P).
     """
     from tpu_sparse import native as _native
 
@@ -155,8 +192,10 @@ def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
         n = current.shape[0]
         P_sp = sp.csr_matrix(
             (np.ones(n), (np.arange(n), agg)), shape=(n, nc))
+        if smoothed:
+            P_sp = _smooth_prolongator(current, P_sp)
         R_sp = P_sp.T.tocsr()
-        if use_native:
+        if use_native and not smoothed:
             ic, jc, vc = _native.rap_pc(current.indptr, current.indices,
                                         current.data, agg, nc)
             A_next = sp.csr_matrix((vc, jc, ic), shape=(nc, nc))
@@ -294,7 +333,8 @@ def amg_preconditioner(A, *, theta: float = 0.08, target_size: int = 4,
                        max_levels: int = 50, coarse_size: int = 16,
                        pre_sweeps: int = 1, post_sweeps: int = 1,
                        omega: float = 0.9,
-                       smoother: str = "l1_jacobi") -> Partial:
+                       smoother: str = "l1_jacobi",
+                       smoothed: bool = False) -> Partial:
     """Build M ≈ A⁻¹ as one AMG V-cycle (usable as ``M=`` in any solver).
 
     Setup runs on host; the returned Partial is a pytree whose leaves are
@@ -306,7 +346,8 @@ def amg_preconditioner(A, *, theta: float = 0.08, target_size: int = 4,
     cycles) and remains available via pre_sweeps=0, post_sweeps=3.
     """
     hier = amg_setup(A, theta=theta, target_size=target_size,
-                     max_levels=max_levels, coarse_size=coarse_size)
+                     max_levels=max_levels, coarse_size=coarse_size,
+                     smoothed=smoothed)
     return Partial(
         _make_vcycle_apply(pre_sweeps, post_sweeps, omega, smoother), hier)
 
@@ -316,7 +357,8 @@ def amg_solve(A, b, x0=None, *, tol: float = 1e-6, atol: float = 0.0,
               target_size: int = 4, max_levels: int = 50,
               coarse_size: int = 16, pre_sweeps: int = 1,
               post_sweeps: int = 1, omega: float = 0.9,
-              precond: Optional[Partial] = None):
+              precond: Optional[Partial] = None,
+              smoothed: bool = False):
     """AMG-preconditioned CG solve (AMGX 'AMG with CG acceleration'
     analogue). Returns (x, info, iterations, residual_norm)."""
     from tpu_sparse.autodiff import cg_diff
@@ -324,5 +366,5 @@ def amg_solve(A, b, x0=None, *, tol: float = 1e-6, atol: float = 0.0,
     M = precond if precond is not None else amg_preconditioner(
         A, theta=theta, target_size=target_size, max_levels=max_levels,
         coarse_size=coarse_size, pre_sweeps=pre_sweeps,
-        post_sweeps=post_sweeps, omega=omega)
+        post_sweeps=post_sweeps, omega=omega, smoothed=smoothed)
     return cg_diff(A, b, x0, tol=tol, atol=atol, maxiter=maxiter, M=M)
