@@ -44,12 +44,72 @@ def pad_dia(A: DIA, n_dev: int) -> DIA:
     return DIA(data, offsets, (n_pad, n_pad))
 
 
-def pad_vector(b: jax.Array, n_dev: int) -> jax.Array:
+def pad_vector(b: jax.Array, n_dev: int, unit: int = 1) -> jax.Array:
+    """Pad b with zeros to a multiple of n_dev*unit (unit=128 for CWELL
+    row blocks)."""
     n = b.shape[0]
-    n_pad = _pad_rows_to(n, n_dev)
+    n_pad = _pad_rows_to(n, n_dev * unit)
     if n_pad == n:
         return b
     return jnp.pad(b, (0, n_pad - n))
+
+
+def pad_csr_identity(A, n_pad: int):
+    """Host-side: extend a square CSR system to n_pad rows/cols with unit
+    diagonal padding (solution stays zero on the padded coordinates)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from tpu_sparse.sparse.convert import csr_from_arrays, to_csr
+
+    Ac = to_csr(A)
+    n, m = Ac.shape
+    if n_pad == n:
+        return Ac
+    A_sp = sp.csr_matrix(
+        (np.asarray(Ac.data), np.asarray(Ac.indices),
+         np.asarray(Ac.indptr)), shape=Ac.shape)
+    pad = sp.identity(n_pad - n, dtype=A_sp.dtype, format="csr")
+    A_big = sp.block_diag([A_sp, pad], format="csr")
+    return csr_from_arrays(A_big.data, A_big.indices, A_big.indptr,
+                           (n_pad, n_pad))
+
+
+def shard_general(A, mesh: Mesh):
+    """Row-shard a general-structure square matrix (CSR/COO/BSR/CWELL/...)
+    as CWELL blocks over the mesh.
+
+    Host-side (concrete operands only): pads the system with identity rows
+    to a multiple of mesh_size*128 (CWELL's row-block height), packs to
+    CWELL, and places the block arrays row-sharded. The distributed SpMV
+    for general structure is all_gather-based (dist.spmv.
+    make_cwell_allgather_spmv) — no bandwidth assumption."""
+    from tpu_sparse.sparse.cwell import LW, CWELL, csr_to_cwell
+
+    n_dev = mesh.devices.size
+    if isinstance(A, CWELL):
+        n, m = A.shape
+        if n == m and n % (n_dev * LW) == 0 and A.n_blocks % n_dev == 0:
+            W = A
+        else:
+            W = None
+    else:
+        W = None
+    if W is None:
+        from tpu_sparse.sparse.cwell import CWELL as _CW
+
+        Ac = A.tocsr() if isinstance(A, _CW) else A
+        n = Ac.shape[0]
+        if Ac.shape[0] != Ac.shape[1]:
+            raise ValueError("distributed solves need a square system")
+        n_pad = _pad_rows_to(n, n_dev * LW)
+        W = csr_to_cwell(pad_csr_identity(Ac, n_pad))
+    sh3 = row_sharding(mesh, ndim=3, row_axis_pos=0)
+    sh2 = row_sharding(mesh, ndim=2, row_axis_pos=0)
+    return CWELL(jax.device_put(W.vals, sh3),
+                 jax.device_put(W.idx2, sh3),
+                 jax.device_put(W.srow, sh2),
+                 W.shape, nnz=W.nnz, fill=W.fill)
 
 
 def shard_dia(A: DIA, mesh: Mesh) -> DIA:
@@ -64,9 +124,9 @@ def shard_dia(A: DIA, mesh: Mesh) -> DIA:
     return DIA(data, A.offsets, A.shape)
 
 
-def shard_vector(b: jax.Array, mesh: Mesh) -> jax.Array:
+def shard_vector(b: jax.Array, mesh: Mesh, unit: int = 1) -> jax.Array:
     n_dev = mesh.devices.size
-    b = pad_vector(b, n_dev)
+    b = pad_vector(b, n_dev, unit)
     return jax.device_put(b, row_sharding(mesh, ndim=1))
 
 

@@ -32,21 +32,42 @@ from tpu_sparse.solvers.krylov import bicgstab_full, cg_full
 from tpu_sparse.sparse.containers import DIA
 
 
-def _check_precond_divisible(n: int, mesh: Mesh, M) -> None:
-    if M is not None and n % mesh.devices.size != 0:
+def _vector_unit(A) -> int:
+    """Vector pad granularity: CWELL row blocks are 128 rows tall, so
+    general-structure systems pad to mesh_size*128; DIA pads to mesh_size."""
+    if isinstance(A, DIA):
+        return 1
+    from tpu_sparse.sparse.cwell import LW
+
+    return LW
+
+
+def _check_precond_divisible(n: int, mesh: Mesh, M, unit: int = 1) -> None:
+    if M is not None and n % (mesh.devices.size * unit) != 0:
         raise ValueError(
             f"preconditioned distributed solves need n ({n}) divisible by "
-            f"the mesh size ({mesh.devices.size}): the identity padding "
-            f"would not match the preconditioner's dimension")
+            f"mesh size x pad unit ({mesh.devices.size}x{unit}): the "
+            f"identity padding would not match the preconditioner's "
+            f"dimension")
 
 
-def distributed_matvec_op(A: DIA, mesh: Mesh, mode: str = "gspmd"):
+def distributed_matvec_op(A, mesh: Mesh, mode: str = "gspmd"):
     """Shard A and return (A_sharded, matvec) for the chosen mode.
 
-    mode='halo' automatically degrades to 'allgather' when the stencil
-    bandwidth exceeds the shard size (single-hop neighbor halos cannot
-    supply all remote columns there)."""
+    DIA (stencil/banded) operators support all three modes; mode='halo'
+    automatically degrades to 'allgather' when the stencil bandwidth
+    exceeds the shard size (single-hop neighbor halos cannot supply all
+    remote columns there). General-structure operators (CSR/COO/BSR/
+    CWELL/...) row-shard as CWELL blocks and always use the all_gather
+    SpMV (no bandwidth assumption) regardless of the requested mode."""
     from tpu_sparse.dist.spmv import make_allgather_spmv
+
+    if not isinstance(A, DIA):
+        from tpu_sparse.dist.partition import shard_general
+        from tpu_sparse.dist.spmv import make_cwell_allgather_spmv
+
+        W_sh = shard_general(A, mesh)
+        return W_sh, make_cwell_allgather_spmv(W_sh, mesh)
 
     A_sh = shard_dia(A, mesh)
     if mode == "halo" and A_sh.bandwidth > A_sh.shape[0] // mesh.devices.size:
@@ -62,7 +83,7 @@ def distributed_matvec_op(A: DIA, mesh: Mesh, mode: str = "gspmd"):
     raise ValueError(f"unknown mode: {mode}")
 
 
-def distributed_cg(A: DIA, b: jax.Array, x0: Optional[jax.Array] = None, *,
+def distributed_cg(A, b: jax.Array, x0: Optional[jax.Array] = None, *,
                    mesh: Optional[Mesh] = None, mode: str = "gspmd",
                    tol: float = 1e-6, atol: float = 0.0,
                    maxiter: Optional[int] = None,
@@ -75,10 +96,11 @@ def distributed_cg(A: DIA, b: jax.Array, x0: Optional[jax.Array] = None, *,
     if mesh is None:
         mesh = make_row_mesh()
     n_orig = b.shape[0]
-    _check_precond_divisible(n_orig, mesh, M)
+    unit = _vector_unit(A)
+    _check_precond_divisible(n_orig, mesh, M, unit)
     A_sh, matvec = distributed_matvec_op(A, mesh, mode)
-    b_sh = shard_vector(b, mesh)
-    x0_sh = shard_vector(x0, mesh) if x0 is not None else None
+    b_sh = shard_vector(b, mesh, unit)
+    x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
 
     @partial(jax.jit, static_argnums=())
     def _run(bb, xx0):
@@ -89,7 +111,7 @@ def distributed_cg(A: DIA, b: jax.Array, x0: Optional[jax.Array] = None, *,
     return x[:n_orig], info, iters, res
 
 
-def distributed_bicgstab(A: DIA, b: jax.Array,
+def distributed_bicgstab(A, b: jax.Array,
                          x0: Optional[jax.Array] = None, *,
                          mesh: Optional[Mesh] = None, mode: str = "gspmd",
                          tol: float = 1e-6, atol: float = 0.0,
@@ -98,10 +120,11 @@ def distributed_bicgstab(A: DIA, b: jax.Array,
     if mesh is None:
         mesh = make_row_mesh()
     n_orig = b.shape[0]
-    _check_precond_divisible(n_orig, mesh, M)
+    unit = _vector_unit(A)
+    _check_precond_divisible(n_orig, mesh, M, unit)
     A_sh, matvec = distributed_matvec_op(A, mesh, mode)
-    b_sh = shard_vector(b, mesh)
-    x0_sh = shard_vector(x0, mesh) if x0 is not None else None
+    b_sh = shard_vector(b, mesh, unit)
+    x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
 
     @jax.jit
     def _run(bb, xx0):
@@ -112,7 +135,7 @@ def distributed_bicgstab(A: DIA, b: jax.Array,
     return x[:n_orig], info, iters, res
 
 
-def distributed_gmres(A: DIA, b: jax.Array, x0: Optional[jax.Array] = None,
+def distributed_gmres(A, b: jax.Array, x0: Optional[jax.Array] = None,
                       *, mesh: Optional[Mesh] = None, mode: str = "gspmd",
                       tol: float = 1e-6, atol: float = 0.0,
                       restart: int = 20, maxiter: Optional[int] = None,
@@ -126,10 +149,11 @@ def distributed_gmres(A: DIA, b: jax.Array, x0: Optional[jax.Array] = None,
     if mesh is None:
         mesh = make_row_mesh()
     n_orig = b.shape[0]
-    _check_precond_divisible(n_orig, mesh, M)
+    unit = _vector_unit(A)
+    _check_precond_divisible(n_orig, mesh, M, unit)
     A_sh, matvec = distributed_matvec_op(A, mesh, mode)
-    b_sh = shard_vector(b, mesh)
-    x0_sh = shard_vector(x0, mesh) if x0 is not None else None
+    b_sh = shard_vector(b, mesh, unit)
+    x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
 
     @jax.jit
     def _run(bb, xx0):

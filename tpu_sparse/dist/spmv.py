@@ -122,3 +122,39 @@ def make_allgather_spmv(A: DIA, mesh: Mesh) -> Callable[[jax.Array], jax.Array]:
 def halo_dia_spmv(A: DIA, x: jax.Array, mesh: Mesh) -> jax.Array:
     """One-shot distributed SpMV (see make_halo_spmv)."""
     return make_halo_spmv(A, mesh)(x)
+
+
+def make_cwell_allgather_spmv(W, mesh: Mesh) -> Callable[[jax.Array],
+                                                         jax.Array]:
+    """Distributed SpMV for GENERAL-structure matrices: each device owns a
+    contiguous run of CWELL row blocks, all-gathers x over ICI, and runs
+    the local column-window kernel (Pallas on TPU, XLA reference
+    elsewhere). No bandwidth/stencil assumption — this is the distributed
+    counterpart of the cuSPARSE general-format capability (SURVEY.md §2.2).
+
+    ``W`` must already be row-sharded (dist.partition.shard_general):
+    square, n divisible by mesh_size*128."""
+    from tpu_sparse.sparse.cwell import LW, CWELL
+
+    n, m = W.shape
+    n_dev = mesh.devices.size
+    nb_loc = W.n_blocks // n_dev
+
+    def local_fn(vals, idx2, srow, x_local):
+        from tpu_sparse.kernels import spmv as _spmv
+
+        x_full = lax.all_gather(x_local, ROW_AXIS, tiled=True)  # (m,)
+        W_loc = CWELL(vals, idx2, srow, (nb_loc * LW, m))
+        return _spmv(W_loc, x_full)
+
+    shmapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(ROW_AXIS, None, None), P(ROW_AXIS, None, None),
+                  P(ROW_AXIS, None), P(ROW_AXIS)),
+        out_specs=P(ROW_AXIS),
+    )
+
+    def spmv_fn(x):
+        return shmapped(W.vals, W.idx2, W.srow, x)
+
+    return spmv_fn
