@@ -124,6 +124,45 @@ class TPUValidationRunner:
         err = float(jnp.max(jnp.abs(y - kref.dia_spmv(A, v))))
         self._check("pallas DIA SpMV vs XLA", err < 1e-4, f"err={err:.1e}")
 
+        # general-structure CWELL kernel (the cuSPARSE-capability path)
+        from tpu_sparse.kernels.pallas_cwell import cwell_spmv_pallas
+        from tpu_sparse.sparse.convert import to_csr
+        from tpu_sparse.sparse.cwell import csr_to_cwell
+
+        W = csr_to_cwell(to_csr(A))
+        yw = cwell_spmv_pallas(W, v)
+        if yw is None:
+            self._check("pallas CWELL SpMV", False, "kernel unavailable")
+        else:
+            scale = float(jnp.max(jnp.abs(y)))
+            errw = float(jnp.max(jnp.abs(yw - y))) / max(scale, 1e-30)
+            self._check("pallas CWELL SpMV vs DIA", errw < 1e-5,
+                        f"rel={errw:.1e}")
+
+        # MXU BELL SpMM
+        from tpu_sparse.kernels.pallas_bell import bell_spmm_pallas
+        from tpu_sparse.sparse import bsr_to_bell
+        from tpu_sparse.sparse.convert import csr_to_bsr, dense_to_csr
+
+        rng = np.random.default_rng(3)
+        nb, bs = 8, 8
+        Ad = np.zeros((nb * bs, nb * bs), dtype=np.float32)
+        for i in range(nb):
+            for j in (i - 1, i, i + 1):
+                if 0 <= j < nb:
+                    Ad[i*bs:(i+1)*bs, j*bs:(j+1)*bs] = \
+                        rng.standard_normal((bs, bs))
+        bell = bsr_to_bell(csr_to_bsr(dense_to_csr(Ad), bs))
+        B = rng.standard_normal((nb * bs, 256)).astype(np.float32)
+        Y = bell_spmm_pallas(bell, jnp.asarray(B))
+        if Y is None:
+            self._check("pallas BELL SpMM", False, "kernel unavailable")
+        else:
+            rel = float(np.max(np.abs(np.asarray(Y) - Ad @ B))
+                        / max(np.abs(Ad @ B).max(), 1e-30))
+            self._check("pallas BELL SpMM vs dense", rel < 1e-3,
+                        f"rel={rel:.1e}")
+
     def run_all(self) -> bool:
         self.run_krylov()
         self.run_mixed()
