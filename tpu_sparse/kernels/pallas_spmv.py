@@ -35,6 +35,14 @@ except Exception:  # pragma: no cover
 # exercised in CI without TPU hardware.
 _INTERPRET = False
 
+# Chunk sizing shared by both DIA kernels: double-buffered (ndiag, C) data
+# blocks must fit the pipeline budget; larger chunks amortize the halo
+# window DMA and issue fewer, longer DMAs. TPU sweep on the 27-pt n=128³
+# system: C=32K → 148 Gnnz/s, 64K → 154, 128K → 162 (723 GB/s, 0.88 of
+# HBM speed-of-light), 256K → 131 (pipeline buffers crowd VMEM).
+_PIPELINE_VMEM_BUDGET = 32 * 1024 * 1024
+_CHUNK_CAP = 128 * 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -114,11 +122,12 @@ def _dia_spmv_pallas_impl_inner(data, x, *, offsets, shape):
     dtype = jnp.result_type(data, x)
 
     # Chunk size: multiple of 1024; prefer a divisor of n (skips the data
-    # pad, which would otherwise re-run every solver iteration); cap VMEM at
-    # ~2 × ndiag × C × 4B ≤ ~8 MB for the pipelined data blocks.
-    max_c = max(1024, (8 * 1024 * 1024) // (2 * 4 * max(ndiag, 1))
+    # pad, which would otherwise re-run every solver iteration); cap the
+    # pipelined 2 × ndiag × C × 4B data blocks at the shared budget (see
+    # the sweep note above _PIPELINE_VMEM_BUDGET).
+    max_c = max(1024, _PIPELINE_VMEM_BUDGET // (2 * 4 * max(ndiag, 1))
                 // 1024 * 1024)
-    C = min(_round_up(n, 1024), max_c, 64 * 1024)
+    C = min(_round_up(n, 1024), max_c, _CHUNK_CAP)
     if n % 1024 == 0:
         while C > 1024 and n % C != 0:
             C -= 1024
@@ -153,6 +162,9 @@ def _dia_spmv_pallas_impl_inner(data, x, *, offsets, shape):
             flops=2 * ndiag * n,
             bytes_accessed=(ndiag + 2) * n_pad * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
     )(xp, data_p)
@@ -257,6 +269,7 @@ def _cached_cwell_of_block(A):
 # ---------------------------------------------------------------------------
 # Extended-space stencil operator: zero-copy SpMV
 # ---------------------------------------------------------------------------
+
 #
 # The plain kernel pads x and slices y every call (up to ~40% extra HBM
 # traffic for narrow stencils). The extended operator keeps every solver
@@ -350,18 +363,21 @@ class ExtendedStencilOperator:
         obj.data_p = children[0]
         return obj
 
-    def __init__(self, A: DIA):
+    def __init__(self, A: DIA, chunk: int | None = None):
         n, m = A.shape
         assert n == m
         offsets = A.offsets
         w = max(max(abs(o) for o in offsets), 1)
         ndiag = len(offsets)
-        max_c = max(1024, (8 * 1024 * 1024)
-                    // (2 * 4 * max(ndiag, 1)) // 1024 * 1024)
-        C = min(_round_up(n, 1024), max_c, 64 * 1024)
-        if n % 1024 == 0:
-            while C > 1024 and n % C != 0:
-                C -= 1024
+        if chunk is not None:
+            C = chunk
+        else:
+            max_c = max(1024, (_PIPELINE_VMEM_BUDGET)
+                        // (2 * 4 * max(ndiag, 1)) // 1024 * 1024)
+            C = min(_round_up(n, 1024), max_c, _CHUNK_CAP)
+            if n % 1024 == 0:
+                while C > 1024 and n % C != 0:
+                    C -= 1024
         self.n = n
         self.C = C
         self.n_pad = _round_up(n, C)
