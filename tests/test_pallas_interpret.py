@@ -47,3 +47,37 @@ def test_extended_kernel_interpreted():
     np.testing.assert_allclose(np.asarray(op.extract(y_ext)),
                                np.asarray(kref.dia_spmv(A, v)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_df_kernel_interpreted():
+    """Double-f32 f64 kernel: ~2^-45 accuracy vs the f64 oracle (plain
+    f32 would be ~1e-7)."""
+    A = generators.poisson2d(40)  # f64
+    n = A.shape[0]
+    op = ps.ExtendedStencilOperatorDF(A)
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.standard_normal(n))
+    y = op.matvec64(v)
+    assert y.dtype == jnp.float64
+    y64 = np.asarray(kref.dia_spmv(A, v))
+    rel = np.max(np.abs(np.asarray(y) - y64)) / np.max(np.abs(y64))
+    assert rel < 1e-12, rel
+
+
+def test_df_kernel_interpreted_illconditioned_values():
+    """Values spanning many magnitudes. The Pallas interpreter forks the
+    compensated sum's rounding by one ulp on some rows (see the note on
+    _two_prod), so this only bounds the error near f32 eps here; the
+    compiled kernel's true accuracy (4.6e-15 on this exact case) is
+    asserted on hardware in test_tpu_validation.py."""
+    A = generators.tridiagonal(1024)
+    data = np.asarray(A.data) * (1 + 1e-9 * np.arange(A.data.shape[1]))
+    data[:, ::7] *= 1e6
+    A = A.with_data(jnp.asarray(data))
+    op = ps.ExtendedStencilOperatorDF(A)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal(1024) * 1e3)
+    y64 = np.asarray(kref.dia_spmv(A, v))
+    rel = np.max(np.abs(np.asarray(op.matvec64(v)) - y64)) \
+        / np.max(np.abs(y64))
+    assert rel < 5e-7, rel

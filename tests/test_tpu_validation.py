@@ -163,12 +163,48 @@ class TPUValidationRunner:
             self._check("pallas BELL SpMM vs dense", rel < 1e-3,
                         f"rel={rel:.1e}")
 
+    def run_df64(self):
+        """Double-f32 compensated f64 SpMV (ExtendedStencilOperatorDF):
+        the EFTs must survive the Mosaic compiler bit-for-bit — this is
+        the on-chip truth for what the interpreter can only approximate
+        (see _two_prod's note)."""
+        import tpu_sparse.kernels.pallas_spmv as ps
+        from tpu_sparse.kernels import reference as kref
+        from tpu_sparse.sparse import generators
+
+        jax.config.update("jax_enable_x64", True)
+        A = generators.tridiagonal(1024)
+        data = np.asarray(A.data) * (
+            1 + 1e-9 * np.arange(A.data.shape[1]))
+        data[:, ::7] *= 1e6
+        A = A.with_data(jnp.asarray(data))
+        op = ps.make_extended_operator_f64(A)
+        if op is None:
+            self._check("df32 f64 SpMV", False, "operator unavailable")
+            return
+        rng = np.random.default_rng(3)
+        v = jnp.asarray(rng.standard_normal(1024) * 1e3)
+        y64 = np.asarray(kref.dia_spmv(A, v))
+        rel = float(np.max(np.abs(np.asarray(op.matvec64(v)) - y64))
+                    / np.abs(y64).max())
+        self._check("df32 f64 SpMV ill-conditioned", rel < 1e-12,
+                    f"rel={rel:.1e}")
+        B = generators.poisson2d(40)
+        opb = ps.make_extended_operator_f64(B)
+        vb = jnp.asarray(rng.standard_normal(B.shape[0]))
+        yb64 = np.asarray(kref.dia_spmv(B, vb))
+        relb = float(np.max(np.abs(np.asarray(opb.matvec64(vb))
+                                   - yb64)) / np.abs(yb64).max())
+        self._check("df32 f64 SpMV poisson2d", relb < 1e-12,
+                    f"rel={relb:.1e}")
+
     def run_all(self) -> bool:
         self.run_krylov()
         self.run_mixed()
         self.run_amg()
         self.run_direct()
         self.run_pallas()
+        self.run_df64()
         ok = all(r.passed for r in self.records)
         for r in self.records:
             mark = "PASS" if r.passed else "FAIL"

@@ -80,6 +80,14 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
     """
     A_fn = as_matvec(A)
     outer_dtype = _first_dtype(b)
+    A_rescue = A
+    df_op = _make_df_operator(A, outer_dtype)
+    if df_op is not None:
+        # f64 DIA on TPU: outer residuals and the rescue sweep run the
+        # double-f32 compensated Pallas SpMV (~3.8× the XLA-emulated f64
+        # path, ~2^-45 accuracy — pallas_spmv.ExtendedStencilOperatorDF).
+        A_fn = df_op.matvec64
+        A_rescue = df_op.matvec64
     A32 = _cast_operator(A, inner_dtype, outer_dtype)
     M32 = None
     if M is not None:
@@ -138,7 +146,7 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
     r = tree_sub(b, A_fn(x))
     rhs = tree_map(
         lambda leaf: jnp.where(failed, leaf, jnp.zeros_like(leaf)), r)
-    d, _, it_f, _ = inner_solver(A, rhs, None, tol=0.0, atol=thresh,
+    d, _, it_f, _ = inner_solver(A_rescue, rhs, None, tol=0.0, atol=thresh,
                                  maxiter=maxiter, M=M, **inner_kwargs)
     x_new = tree_add(x, d)
     res_new = tree_norm(tree_sub(b, A_fn(x_new)))
@@ -154,6 +162,22 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
 
 def _first_dtype(tree):
     return jax.tree_util.tree_leaves(tree)[0].dtype
+
+
+def _make_df_operator(A, outer_dtype):
+    """Double-f32 extended operator for the f64 outer system, or None."""
+    from tpu_sparse import kernels as _kernels
+    from tpu_sparse.sparse.containers import DIA
+
+    if not (isinstance(A, DIA)
+            and _kernels._PALLAS_ENABLED
+            and jax.default_backend() == "tpu"
+            and outer_dtype == jnp.float64
+            and A.data.dtype == jnp.float64):
+        return None
+    from tpu_sparse.kernels.pallas_spmv import make_extended_operator_f64
+
+    return make_extended_operator_f64(A)
 
 
 def _make_inner(inner_solver, A32, M32, inner_tol, maxiter, inner_kwargs):
