@@ -66,6 +66,15 @@ def _load() -> Optional[ctypes.CDLL]:
                               f64p, i64p, i32p, i32p, f64p, ctypes.c_int64]
     lib.ts_l1_row_norms.restype = None
     lib.ts_l1_row_norms.argtypes = [ctypes.c_int64, i32p, f64p, f64p]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.ts_dia_to_csr_f64.restype = None
+    lib.ts_dia_to_csr_f64.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, i64p, i64p, f64p,
+                                      i64p, f64p, i32p]
+    lib.ts_dia_to_csr_f32.restype = None
+    lib.ts_dia_to_csr_f32.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, i64p, i64p, f32p,
+                                      i64p, f32p, i32p]
     _lib = lib
     return _lib
 
@@ -125,6 +134,43 @@ def rap_pc(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     if nnz_c < 0:
         raise RuntimeError("rap_pc capacity overflow")
     return indptr_c, indices_c[:nnz_c].copy(), data_c[:nnz_c].copy()
+
+
+def dia_to_csr(data: np.ndarray, offsets, shape
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row-parallel DIA→CSR: (csr_data, indices, indptr).
+
+    ``data`` is (ndiag, n) row-indexed (data[d, i] = A[i, i+offsets[d]]);
+    keeps explicit in-band zeros, sorted columns per row.
+    """
+    lib = _load()
+    assert lib is not None
+    n, m = shape
+    data = np.ascontiguousarray(data)
+    offs = np.asarray(offsets, dtype=np.int64)
+    dorder = np.argsort(offs, kind="stable").astype(np.int64)
+    offs_s = np.ascontiguousarray(offs[dorder])
+    i = np.arange(n, dtype=np.int64)
+    counts = (np.searchsorted(offs_s, m - i)
+              - np.searchsorted(offs_s, -i))
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    out = np.empty(nnz, dtype=data.dtype)
+    indices = np.empty(nnz, dtype=np.int32)
+    if data.dtype == np.float64:
+        fn, ct = lib.ts_dia_to_csr_f64, ctypes.c_double
+    elif data.dtype == np.float32:
+        fn, ct = lib.ts_dia_to_csr_f32, ctypes.c_float
+    else:
+        raise TypeError(f"unsupported dtype {data.dtype}")
+    fn(n, m, offs_s.size, _ptr(offs_s, ctypes.c_int64),
+       _ptr(dorder, ctypes.c_int64), _ptr(data, ct),
+       _ptr(indptr, ctypes.c_int64), _ptr(out, ct),
+       _ptr(indices, ctypes.c_int32))
+    if nnz <= np.iinfo(np.int32).max:
+        indptr = indptr.astype(np.int32)
+    return out, indices, indptr
 
 
 def l1_row_norms(indptr: np.ndarray, data: np.ndarray) -> np.ndarray:

@@ -182,15 +182,88 @@ int64_t ts_rap_pc(int64_t n, int64_t nc, const int32_t* indptr,
   return out;
 }
 
-// Row L1 norms (the L1-Jacobi smoother diagonal).
+// Row L1 norms (the L1-Jacobi smoother diagonal). Row-parallel.
 void ts_l1_row_norms(int64_t n, const int32_t* indptr, const double* data,
                      double* out) {
-  for (int64_t i = 0; i < n; ++i) {
-    double s = 0.0;
-    for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k)
-      s += std::fabs(data[k]);
-    out[i] = s;
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t i = r0; i < r1; ++i) {
+      double s = 0.0;
+      for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k)
+        s += std::fabs(data[k]);
+      out[i] = s;
+    }
+  };
+  int64_t nnz = indptr[n];
+  int nt = (int)std::min<int64_t>(
+      std::max(1u, std::thread::hardware_concurrency()),
+      std::max<int64_t>(nnz / (1 << 20), 1));
+  if (nt <= 1) {
+    work(0, n);
+    return;
   }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t)
+    threads.emplace_back(work, n * t / nt, n * (t + 1) / nt);
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C" (reopened below — template needs C++ linkage)
+
+// DIA (row-indexed diagonals: data[d*n + i] = A[i, i + offs[d]]) → CSR.
+// offs_sorted must be ascending; dorder[dpos] is the original diagonal
+// index of sorted position dpos. Emits explicit in-band zeros (pattern
+// semantics) with sorted column indices. indptr is computed by the caller
+// (cheap closed form); this kernel fills data/indices row-parallel — the
+// multithreaded writes also parallelize first-touch page faults, which
+// dominate large fresh numpy allocations on microVM hosts.
+template <typename T>
+static void dia_to_csr_impl(int64_t n, int64_t m, int64_t ndiag,
+                            const int64_t* offs_sorted, const int64_t* dorder,
+                            const T* data, const int64_t* indptr, T* out,
+                            int32_t* indices) {
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t i = r0; i < r1; ++i) {
+      // valid sorted diagonals at row i: offs in [-i, m - i)
+      int64_t lo = std::lower_bound(offs_sorted, offs_sorted + ndiag, -i) -
+                   offs_sorted;
+      int64_t hi = std::lower_bound(offs_sorted, offs_sorted + ndiag, m - i) -
+                   offs_sorted;
+      int64_t p = indptr[i];
+      for (int64_t dpos = lo; dpos < hi; ++dpos, ++p) {
+        out[p] = data[dorder[dpos] * n + i];
+        indices[p] = (int32_t)(i + offs_sorted[dpos]);
+      }
+    }
+  };
+  int nt = (int)std::min<int64_t>(
+      std::max(1u, std::thread::hardware_concurrency()),
+      std::max<int64_t>((n * ndiag) / (1 << 20), 1));
+  if (nt <= 1) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t)
+    threads.emplace_back(work, n * t / nt, n * (t + 1) / nt);
+  for (auto& th : threads) th.join();
+}
+
+extern "C" {
+
+void ts_dia_to_csr_f64(int64_t n, int64_t m, int64_t ndiag,
+                       const int64_t* offs_sorted, const int64_t* dorder,
+                       const double* data, const int64_t* indptr, double* out,
+                       int32_t* indices) {
+  dia_to_csr_impl<double>(n, m, ndiag, offs_sorted, dorder, data, indptr, out,
+                          indices);
+}
+
+void ts_dia_to_csr_f32(int64_t n, int64_t m, int64_t ndiag,
+                       const int64_t* offs_sorted, const int64_t* dorder,
+                       const float* data, const int64_t* indptr, float* out,
+                       int32_t* indices) {
+  dia_to_csr_impl<float>(n, m, ndiag, offs_sorted, dorder, data, indptr, out,
+                         indices);
 }
 
 }  // extern "C"
