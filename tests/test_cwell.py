@@ -101,6 +101,29 @@ def test_cwell_pallas_interpret_stencil():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_cwell_pallas_interpret_df64():
+    """f64 double-f32 compensated kernel (general structure)."""
+    from tpu_sparse.kernels import pallas_cwell
+
+    A = to_csr(generators.poisson3d_27pt(8, dtype=np.float64))
+    W = csr_to_cwell(A)
+    assert W.vals.dtype == jnp.float64
+    x = jnp.asarray(np.random.default_rng(12).standard_normal(512))
+    y_ref = np.asarray(ref.csr_spmv(A, x))
+    pallas_cwell._INTERPRET = True
+    try:
+        y = pallas_cwell.cwell_spmv_pallas_df(W, x)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert y is not None
+    assert y.dtype == jnp.float64
+    rel = np.abs(np.asarray(y) - y_ref).max() / np.abs(y_ref).max()
+    # the Pallas interpreter may fork EFT rounding by an ulp (see
+    # pallas_spmv._two_prod note); the tight <1e-12 bound is asserted
+    # on-chip in test_tpu_validation.py
+    assert rel < 1e-6, rel
+
+
 def test_cwell_transpose():
     A, Ad = _random_csr(90, 60, 0.1, seed=11)
     W = csr_to_cwell(A)

@@ -197,6 +197,24 @@ class TPUValidationRunner:
                                    - yb64)) / np.abs(yb64).max())
         self._check("df32 f64 SpMV poisson2d", relb < 1e-12,
                     f"rel={relb:.1e}")
+        # general-structure f64: the CWELL DF kernel (incl. compensated
+        # cross-sublane fold)
+        from tpu_sparse.kernels import pallas_cwell
+        from tpu_sparse.sparse.convert import to_csr
+        from tpu_sparse.sparse.cwell import csr_to_cwell
+
+        C = csr_to_cwell(to_csr(generators.poisson3d_27pt(
+            24, dtype=np.float64)))
+        vc = jnp.asarray(rng.standard_normal(C.shape[0]))
+        yc = pallas_cwell.cwell_spmv_pallas_df(C, vc)
+        if yc is None:
+            self._check("df32 f64 CWELL SpMV", False, "kernel unavailable")
+        else:
+            yc64 = np.asarray(kref.cwell_spmv(C, vc))
+            relc = float(np.max(np.abs(np.asarray(yc) - yc64))
+                         / np.abs(yc64).max())
+            self._check("df32 f64 CWELL SpMV", relc < 1e-12,
+                        f"rel={relc:.1e}")
 
     def run_all(self) -> bool:
         self.run_krylov()

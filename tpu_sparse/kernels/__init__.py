@@ -43,6 +43,12 @@ def spmv(A, x: jax.Array) -> jax.Array:
             y = pallas_cwell.cwell_spmv_pallas(A, x)
             if y is not None:
                 return y
+            if A.vals.dtype == jnp.float64 and x.dtype == jnp.float64:
+                # f64 general structure: double-f32 compensated kernel
+                # (~2^-45 accuracy; same class as the DIA DF path)
+                y = pallas_cwell.cwell_spmv_pallas_df(A, x)
+                if y is not None:
+                    return y
         return ref.cwell_spmv(A, x)
     if isinstance(A, BELL):
         if _PALLAS_ENABLED and _on_tpu():

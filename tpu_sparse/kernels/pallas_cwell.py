@@ -155,7 +155,7 @@ def cwell_spmv_pallas(A: CWELL, x: jax.Array, rb: int | None = None):
         return None
     n, m = A.shape
     if A.vals.dtype != jnp.float32:
-        return None  # f64/bf16 stay on the XLA path for now
+        return None  # f64 → cwell_spmv_pallas_df; bf16 stays on XLA
     if x.dtype != jnp.float32:
         x = x.astype(jnp.float32)
     m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
@@ -165,3 +165,184 @@ def cwell_spmv_pallas(A: CWELL, x: jax.Array, rb: int | None = None):
         return None
     return _cwell_spmv_impl(A.vals, A.idx2, A.srow, x, shape=A.shape,
                             rb=rb if rb is not None else _pick_rb(A.planes))
+
+
+# ---------------------------------------------------------------------------
+# Double-f32 (compensated) CWELL SpMV: fast f64 for general structure
+# ---------------------------------------------------------------------------
+#
+# The f64 analogue the DIA path already has (ExtendedStencilOperatorDF,
+# pallas_spmv.py): every f64 value is an unevaluated hi+lo f32 pair, and
+# y = Σ v·x(col) is computed with Dekker twoProd / Knuth twoSum error-free
+# transforms in native-f32 VPU ops — including the final cross-sublane
+# reduction, which is itself compensated so the ~2^-45 relative accuracy
+# survives the (8, 128) → (128,) fold. Gathers are permutations and
+# therefore exact on the hi/lo pair streams.
+
+
+def _cwell_kernel_df(srow_ref, xh2d_ref, xl2d_ref, valsh_ref, valsl_ref,
+                     idx2_ref, y_ref, xw, *, RB, S):
+    """xw: (4*8, 128) scratch — [0:8]=xh[r], [8:16]=xh[r+1], [16:24]=xl[r],
+    [24:32]=xl[r+1] for the group's 8 planes. y_ref: (RB, 2, 128) [sum;
+    compensation] f32 pairs, combined to f64 by the caller."""
+    from tpu_sparse.kernels.pallas_spmv import _two_prod, _two_sum
+
+    lax_ = jax.lax
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+    G = S // 8
+
+    def g_body(g, carry):
+        rb, s_acc, c_acc = carry
+        base = lax_.mul(g, i32(8))
+        for s in range(8):
+            r = srow_ref[0, rb, lax_.add(base, i32(s))]
+            rp1 = lax_.add(r, i32(1))
+            xw[s, :] = xh2d_ref[r, :]
+            xw[8 + s, :] = xh2d_ref[rp1, :]
+            xw[16 + s, :] = xl2d_ref[r, :]
+            xw[24 + s, :] = xl2d_ref[rp1, :]
+        idx = idx2_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
+        il = jnp.minimum(idx, 127)
+        ih = jnp.clip(idx - 128, 0, 127)
+        sel = idx < 128
+        xh = jnp.where(sel,
+                       jnp.take_along_axis(xw[0:8, :], il, axis=1),
+                       jnp.take_along_axis(xw[8:16, :], ih, axis=1))
+        xl = jnp.where(sel,
+                       jnp.take_along_axis(xw[16:24, :], il, axis=1),
+                       jnp.take_along_axis(xw[24:32, :], ih, axis=1))
+        vh = valsh_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
+        vl = valsl_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
+        p, e = _two_prod(vh, xh)
+        e = e + vh * xl + vl * xh
+        s_acc, es = _two_sum(s_acc, p)
+        c_acc = c_acc + es + e
+        return rb, s_acc, c_acc
+
+    def rb_body(rb, _):
+        z = jnp.zeros((8, LW), jnp.float32)
+        _, s_acc, c_acc = lax_.fori_loop(0, G, g_body, (rb, z, z),
+                                         unroll=G)
+        # compensated cross-sublane fold (a plain f32 sum here would
+        # reintroduce f32 rounding and waste the twoSum work above)
+        st = s_acc[0, :]
+        ct = c_acc[0, :]
+        for i in range(1, 8):
+            st, e = _two_sum(st, s_acc[i, :])
+            ct = ct + e + c_acc[i, :]
+        y_ref[rb, 0, :] = st
+        y_ref[rb, 1, :] = ct
+        return 0
+
+    lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "rb"))
+def _cwell_spmv_df_impl(valsh, valsl, idx2, srow, x, *, shape, rb):
+    # split x into a hi/lo pair in f64 mode, trace the kernel in 32-bit
+    # mode, recombine in f64 mode.
+    xh = x.astype(jnp.float32)
+    xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
+    with jax.enable_x64(False):
+        y2 = _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl,
+                             shape=shape, rb=rb)
+    n = shape[0]
+    ys = y2[:, 0, :].reshape(-1)[:n]
+    yc = y2[:, 1, :].reshape(-1)[:n]
+    return ys.astype(jnp.float64) + yc.astype(jnp.float64)
+
+
+def _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl, *, shape, rb):
+    nb, S, _ = valsh.shape
+    n, m = shape
+    m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
+    xh2d = jnp.pad(xh, (0, m_pad - m)).reshape(-1, LW)
+    xl2d = jnp.pad(xl, (0, m_pad - m)).reshape(-1, LW)
+    grid = (nb + rb - 1) // rb
+    nb_pad = grid * rb
+    if nb_pad != nb:
+        valsh = jnp.pad(valsh, ((0, nb_pad - nb), (0, 0), (0, 0)))
+        valsl = jnp.pad(valsl, ((0, nb_pad - nb), (0, 0), (0, 0)))
+        idx2 = jnp.pad(idx2, ((0, nb_pad - nb), (0, 0), (0, 0)))
+        srow = jnp.pad(srow, ((0, nb_pad - nb), (0, 0)))
+    srow3 = srow.reshape(grid, rb, S)
+
+    kernel = functools.partial(_cwell_kernel_df, RB=rb, S=S)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb_pad, 2, LW), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, rb, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xh2d resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xl2d resident
+            pl.BlockSpec((rb, S, LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, S, LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, S, LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, 2, LW), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((32, LW), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 20 * nb_pad * S * LW,
+            bytes_accessed=nb_pad * S * LW * 12 + 2 * (m_pad
+                                                       + nb_pad * LW) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(srow3, xh2d, xl2d, valsh, valsl, idx2)
+
+
+_df_split_cache: dict = {}
+
+
+def _cached_df_split(A: CWELL):
+    """hi/lo f32 split of f64 CWELL vals, cached per live matrix object."""
+    import weakref
+
+    entry = _df_split_cache.get(id(A))
+    if entry is not None and entry[0]() is A:
+        return entry[1]
+    vh = A.vals.astype(jnp.float32)
+    vl = (A.vals - vh.astype(jnp.float64)).astype(jnp.float32)
+    pair = (vh, vl)
+    if len(_df_split_cache) > 16:
+        _df_split_cache.clear()
+    try:
+        _df_split_cache[id(A)] = (weakref.ref(A), pair)
+    except TypeError:
+        pass
+    return pair
+
+
+def cwell_spmv_pallas_df(A: CWELL, x: jax.Array, rb: int | None = None):
+    """Double-f32 compensated CWELL SpMV for f64 matrices; None to signal
+    fallback. Accuracy ~2^-45 relative (same class as the DIA DF kernel);
+    documented as compensated-f32 rather than true f64."""
+    if not _HAS_PALLAS:
+        return None
+    n, m = A.shape
+    if A.vals.dtype != jnp.float64 or x.dtype != jnp.float64:
+        return None
+    m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
+    if 2 * m_pad > _X_VMEM_LIMIT:  # hi+lo both VMEM-resident
+        return None
+    if A.planes % 8 != 0:
+        return None
+    if isinstance(A.vals, jax.core.Tracer):
+        vh = A.vals.astype(jnp.float32)
+        vl = (A.vals - vh.astype(jnp.float64)).astype(jnp.float32)
+    else:
+        vh, vl = _cached_df_split(A)
+    return _cwell_spmv_df_impl(vh, vl, A.idx2, A.srow, x, shape=A.shape,
+                               rb=rb if rb is not None else
+                               _pick_rb(A.planes))
