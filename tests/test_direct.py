@@ -152,3 +152,70 @@ def test_host_splu_large_sparse():
         direct_solve_full_diff(A, rhs)[0] ** 2))(b)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_block_pcr_poisson2d():
+    from tpu_sparse.direct import block_pcr_solve
+
+    nx = 12
+    A = generators.poisson2d(nx)  # bandwidth nx
+    rng = np.random.default_rng(7)
+    x_true = jnp.asarray(rng.standard_normal(nx * nx))
+    b = A @ x_true
+    x = block_pcr_solve(A, b)
+    res = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+    assert res < 1e-10
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_block_pcr_matches_banded_lu():
+    from tpu_sparse.direct import block_pcr_solve
+
+    # nonsymmetric, diagonally dominant, odd size (exercises the identity
+    # padding), non-power-of-two block count
+    A = generators.convection_diffusion(97)
+    rng = np.random.default_rng(8)
+    b = jnp.asarray(rng.standard_normal(97))
+    x = block_pcr_solve(A, b)
+    x_lu = banded_lu_solve(A, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_lu),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_block_pcr_wide_band_f32():
+    from tpu_sparse.direct import block_pcr_solve
+    from tpu_sparse.sparse.containers import DIA
+
+    # random diagonally-dominant band, bandwidth 5, f32, explicit block
+    # size larger than the bandwidth
+    n, w = 130, 5
+    rng = np.random.default_rng(9)
+    offs = list(range(-w, w + 1))
+    rows = np.arange(n)
+    data = np.zeros((len(offs), n), np.float32)
+    for d, o in enumerate(offs):
+        v = rng.standard_normal(n).astype(np.float32) * 0.1
+        v[(rows + o < 0) | (rows + o >= n)] = 0.0
+        if o == 0:
+            v = v + 4.0
+        data[d] = v
+    A = DIA(jnp.asarray(data), offs, (n, n))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x = block_pcr_solve(A, b, block_size=8)
+    assert x.dtype == jnp.float32
+    x_np = np.linalg.solve(np.asarray(A.todense(), np.float64),
+                           np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(x, np.float64), x_np,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gj_solve_batched_matches_linalg():
+    from tpu_sparse.direct.banded import _gj_solve_batched
+
+    rng = np.random.default_rng(10)
+    D = rng.standard_normal((6, 17, 17)) + 17 * np.eye(17)  # s>16: fori path
+    B = rng.standard_normal((6, 17, 3))
+    X = _gj_solve_batched(jnp.asarray(D), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(D, B),
+                               rtol=1e-10, atol=1e-12)

@@ -108,6 +108,15 @@ class TPUValidationRunner:
         g = jax.grad(lambda rhs: jnp.sum(
             direct_solve_full_diff(A, rhs)[0] ** 2))(b)
         self._check("direct grad b", self._grad_ok(g))
+        # wide-band path: block cyclic reduction (dispatched on TPU at
+        # n >= 512), batched-GJ blocks in f64
+        Aw = generators.poisson2d(32)  # n=1024, bandwidth 32
+        bw = Aw @ jnp.ones(1024)
+        xw, infow, _, resw = jax.jit(
+            lambda a, rhs: direct_solve_full_diff(a, rhs))(Aw, bw)
+        relw = float(resw) / float(jnp.linalg.norm(bw))
+        self._check("direct block-PCR banded", int(infow) == 0
+                    and relw < 1e-10, f"rel={relw:.1e}")
 
     def run_pallas(self):
         from tpu_sparse.kernels import reference as kref

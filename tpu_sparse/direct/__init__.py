@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from tpu_sparse.direct.banded import (
     banded_lu_factor,
     banded_lu_solve,
+    block_pcr_solve,
     dense_solve,
     pcr_solve,
     thomas_solve,
@@ -40,6 +41,10 @@ def banded_solve(A: DIA, b: jax.Array) -> jax.Array:
         if jax.default_backend() == "tpu" and A.shape[0] >= 64:
             return pcr_solve(A, b)
         return thomas_solve(A, b)
+    if jax.default_backend() == "tpu" and A.shape[0] >= 512:
+        # log-depth batched-matmul elimination instead of an n-step scan:
+        # the scan's per-row latency dominates on TPU at this size.
+        return block_pcr_solve(A, b)
     return banded_lu_solve(A, b)
 
 
@@ -204,5 +209,5 @@ __all__ = [
     "direct_solve_full_diff", "thomas_solve", "banded_lu_solve",
     "banded_lu_factor", "dense_solve", "host_splu_solve",
     "host_splu_eager", "needs_host_splu", "direct_residual_info",
-    "pcr_solve",
+    "pcr_solve", "block_pcr_solve",
 ]
