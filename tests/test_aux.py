@@ -55,3 +55,35 @@ def test_checkpoint_shape_dtype_validation(tmp_path):
     with pytest.raises(ValueError, match="dtype"):
         load_pytree(p, {"u": jnp.zeros((4, 4)),
                         "p": jnp.zeros(16, jnp.float32)})
+
+
+def test_operand_cache_content_invalidation():
+    """Rebinding a container's arrays must invalidate derived caches
+    (mutated-in-place workflows; ROADMAP round-2 item 7)."""
+    from tpu_sparse.api.solver import SparseSolver
+    from tpu_sparse.sparse import generators
+    from tpu_sparse.utils.opcache import OperandCache
+
+    # unit level
+    cache = OperandCache()
+    A = generators.tridiagonal(32)
+    calls = []
+    build = lambda: calls.append(1) or len(calls)  # noqa: E731
+    assert cache.get_or_build(A, build) == 1
+    assert cache.get_or_build(A, build) == 1  # hit
+    A.data = A.data * 2.0  # rebind content
+    assert cache.get_or_build(A, build) == 2  # rebuilt
+
+    # end to end: AMG hierarchy cache keyed on content, solving after an
+    # in-place data swap must converge against the NEW matrix
+    s = SparseSolver()
+    A2 = generators.poisson2d(12)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(A2.shape[0]))
+    x1, r1 = s.solve(A2, b, method="amg")
+    assert r1.converged
+    A2.data = A2.data * 3.0  # in-place rescale: hierarchy must rebuild
+    x2, r2 = s.solve(A2, b, method="amg")
+    assert r2.converged
+    np.testing.assert_allclose(np.asarray(x2) * 3.0, np.asarray(x1),
+                               rtol=1e-4, atol=1e-6)

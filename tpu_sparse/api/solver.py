@@ -219,23 +219,17 @@ class SparseSolver:
     def _solve_amg(self, A, b, x0, method, tol, atol, maxiter, **kwargs):
         from tpu_sparse.precond.amg import amg_preconditioner
 
+        from tpu_sparse.utils.opcache import OperandCache
+
         # Hierarchy setup is a host-side graph phase (cannot be jitted);
-        # cache it per matrix object so repeat solves skip the setup, and
+        # cache it per matrix content so repeat solves skip the setup, and
         # run the AMG-preconditioned CG itself as one jitted program.
-        key = (id(A), tuple(sorted(kwargs.items())))
         cached = getattr(self, "_amg_cache", None)
         if cached is None:
-            cached = self._amg_cache = {}
-        entry = cached.get(key)
-        if entry is not None and entry[0]() is A:
-            M = entry[1]
-        else:
-            import weakref
-
-            M = amg_preconditioner(A, **kwargs)
-            if len(cached) > 8:
-                cached.clear()
-            cached[key] = (weakref.ref(A), M)
+            cached = self._amg_cache = OperandCache(max_entries=8)
+        M = cached.get_or_build(
+            A, lambda: amg_preconditioner(A, **kwargs),
+            extra=tuple(sorted(kwargs.items())))
         maxiter = maxiter if maxiter is not None else 100
         return _jitted_krylov("cg", tol, atol, maxiter, 20, "batched",
                               False)(A, b, x0, M)

@@ -302,26 +302,20 @@ def _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl, *, shape, rb):
     )(srow3, xh2d, xl2d, valsh, valsl, idx2)
 
 
-_df_split_cache: dict = {}
+from tpu_sparse.utils.opcache import OperandCache  # noqa: E402
+
+_df_split_cache = OperandCache(max_entries=16)
+
+
+def _split_df(vals):
+    vh = vals.astype(jnp.float32)
+    vl = (vals - vh.astype(jnp.float64)).astype(jnp.float32)
+    return vh, vl
 
 
 def _cached_df_split(A: CWELL):
-    """hi/lo f32 split of f64 CWELL vals, cached per live matrix object."""
-    import weakref
-
-    entry = _df_split_cache.get(id(A))
-    if entry is not None and entry[0]() is A:
-        return entry[1]
-    vh = A.vals.astype(jnp.float32)
-    vl = (A.vals - vh.astype(jnp.float64)).astype(jnp.float32)
-    pair = (vh, vl)
-    if len(_df_split_cache) > 16:
-        _df_split_cache.clear()
-    try:
-        _df_split_cache[id(A)] = (weakref.ref(A), pair)
-    except TypeError:
-        pass
-    return pair
+    """hi/lo f32 split of f64 CWELL vals, cached per matrix content."""
+    return _df_split_cache.get_or_build(A, lambda: _split_df(A.vals))
 
 
 def cwell_spmv_pallas_df(A: CWELL, x: jax.Array, rb: int | None = None):
@@ -339,8 +333,7 @@ def cwell_spmv_pallas_df(A: CWELL, x: jax.Array, rb: int | None = None):
     if A.planes % 8 != 0:
         return None
     if isinstance(A.vals, jax.core.Tracer):
-        vh = A.vals.astype(jnp.float32)
-        vl = (A.vals - vh.astype(jnp.float64)).astype(jnp.float32)
+        vh, vl = _split_df(A.vals)
     else:
         vh, vl = _cached_df_split(A)
     return _cwell_spmv_df_impl(vh, vl, A.idx2, A.srow, x, shape=A.shape,

@@ -220,18 +220,20 @@ def bsr_spmv_pallas(A: BSR, x: jax.Array):
     return cwell_spmv_pallas(W, x)
 
 
-_block_cwell_cache: dict = {}
+from tpu_sparse.utils.opcache import OperandCache
+
+_block_cwell_cache = OperandCache(max_entries=16)
 
 
 def _cached_cwell_of_block(A):
-    """CWELL repack of a BSR/BELL matrix, cached per live matrix object."""
-    import weakref
-
+    """CWELL repack of a BSR/BELL matrix, cached per matrix content."""
     from tpu_sparse.sparse.cwell import csr_to_cwell
 
-    entry = _block_cwell_cache.get(id(A))
-    if entry is not None and entry[0]() is A:
-        return entry[1]
+    return _block_cwell_cache.get_or_build(A, lambda: _build_block_cwell(
+        A, csr_to_cwell))
+
+
+def _build_block_cwell(A, csr_to_cwell):
     import numpy as np
 
     try:
@@ -257,12 +259,6 @@ def _cached_cwell_of_block(A):
         W = csr_to_cwell(csr)
     except Exception:
         W = None
-    if len(_block_cwell_cache) > 16:
-        _block_cwell_cache.clear()
-    try:
-        _block_cwell_cache[id(A)] = (weakref.ref(A), W)
-    except TypeError:
-        return W
     return W
 
 
@@ -710,25 +706,14 @@ class ExtendedStencilOperatorDF:
         )(x_ext, self.data_p)
 
 
-_df_op_cache: dict = {}
+_df_op_cache = OperandCache(max_entries=16)
 
 
 def _cached_df_operator(A: DIA):
-    """DF operator for an eagerly-held f64 DIA matrix, cached per live
-    matrix object (same scheme as _cached_cwell_of_block)."""
-    import weakref
-
-    entry = _df_op_cache.get(id(A))
-    if entry is not None and entry[0]() is A:
-        return entry[1]
-    op = make_extended_operator_f64(A)
-    if len(_df_op_cache) > 16:
-        _df_op_cache.clear()
-    try:
-        _df_op_cache[id(A)] = (weakref.ref(A), op)
-    except TypeError:
-        pass
-    return op
+    """DF operator for an eagerly-held f64 DIA matrix, cached per matrix
+    content (same scheme as _cached_cwell_of_block)."""
+    return _df_op_cache.get_or_build(
+        A, lambda: make_extended_operator_f64(A))
 
 
 def make_extended_operator_f64(A: DIA):
