@@ -204,3 +204,76 @@ class TestFGMRES:
         b, _ = make_b(A)
         x, info = jax.jit(lambda a, r: fgmres(a, r, tol=1e-10))(A, b)
         assert int(info) == 0
+
+
+# ---------------------------------------------------------------------------
+# Block CG (multi-RHS, shared Krylov space)
+# ---------------------------------------------------------------------------
+
+
+def test_block_cg_multi_rhs():
+    from tpu_sparse.solvers import block_cg
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(20)
+    Xt = jnp.asarray(rng.standard_normal((n, 4)))
+    B = jnp.stack([A @ Xt[:, j] for j in range(4)], axis=1)
+    X, infos, iters, res = block_cg(A, B, tol=1e-8)
+    assert np.all(np.asarray(infos) == 0), np.asarray(res)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xt),
+                               rtol=1e-5, atol=1e-7)
+    # shared-space advantage: block iterations <= single-RHS CG iterations
+    from tpu_sparse.solvers import cg_full
+
+    _, _, it1, _ = cg_full(A, B[:, 0], tol=1e-8)
+    assert int(iters) <= int(it1) + 1
+
+
+def test_block_cg_early_column_freeze():
+    """A column whose x0 is already the solution must freeze (the classic
+    block-CG rank-deficiency breakdown) and not poison the others."""
+    from tpu_sparse.solvers import block_cg
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson2d(10)
+    n = A.shape[0]
+    rng = np.random.default_rng(21)
+    Xt = jnp.asarray(rng.standard_normal((n, 3)))
+    B = jnp.stack([A @ Xt[:, j] for j in range(3)], axis=1)
+    X0 = jnp.zeros_like(B).at[:, 1].set(Xt[:, 1])  # column 1 pre-solved
+    X, infos, _, res = block_cg(A, B, X0, tol=1e-8)
+    assert np.all(np.asarray(infos) == 0), np.asarray(res)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xt),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_block_cg_preconditioned_jit():
+    from tpu_sparse.precond import jacobi_preconditioner
+    from tpu_sparse.solvers import block_cg
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson3d_27pt(6)
+    n = A.shape[0]
+    rng = np.random.default_rng(22)
+    B = jnp.asarray(rng.standard_normal((n, 5)))
+    M = jacobi_preconditioner(A)
+    f = jax.jit(lambda a, bb: block_cg(a, bb, tol=1e-7, M=M))
+    X, infos, iters, res = f(A, B)
+    assert np.all(np.asarray(infos) == 0)
+    rel = np.linalg.norm(np.asarray(B) - np.asarray(
+        jnp.stack([A @ X[:, j] for j in range(5)], axis=1)), axis=0)
+    assert np.all(rel <= 1e-7 * np.linalg.norm(np.asarray(B), axis=0) * 10)
+
+
+def test_block_cg_f32():
+    from tpu_sparse.solvers import block_cg
+    from tpu_sparse.sparse import generators
+
+    A = generators.tridiagonal(200, dtype=np.float32)
+    rng = np.random.default_rng(23)
+    B = jnp.asarray(rng.standard_normal((200, 2)).astype(np.float32))
+    X, infos, _, res = block_cg(A, B, tol=1e-5)
+    assert X.dtype == jnp.float32
+    assert np.all(np.asarray(infos) == 0)

@@ -20,6 +20,7 @@ from tpu_sparse.solvers.batched import (
     batch_direct,
     batch_gmres,
 )
+from tpu_sparse.solvers.block import block_cg
 
 
 def cg_differentiable(A, b, **kwargs):
@@ -51,5 +52,6 @@ __all__ = [
     "fcg", "fcg_full", "fgmres", "fgmres_full",
     "cg_refined", "bicgstab_refined", "gmres_refined", "refined_solve",
     "batch_cg", "batch_bicgstab", "batch_gmres", "batch_direct",
+    "block_cg",
     "cg_differentiable", "bicgstab_differentiable", "gmres_differentiable",
 ]
