@@ -166,3 +166,25 @@ def test_fgmres_through_router():
     M = amg_preconditioner(A, pre_sweeps=0, post_sweeps=3)
     x, r = solve(A, b, method="fgmres", tol=1e-8, M=M, restart=30)
     assert r.converged and r.residual < 1e-6
+
+
+def test_solve_multi_rhs_block_and_batched():
+    """A 2-D b routes to the block/batched solvers (reference loops per
+    RHS sequentially, cudss_solver.py:297-324)."""
+    from tpu_sparse.api.solver import SparseSolver
+    from tpu_sparse.sparse import generators
+
+    s = SparseSolver()
+    A = generators.poisson2d(10)
+    n = A.shape[0]
+    rng = np.random.default_rng(31)
+    Xt = np.asarray(rng.standard_normal((n, 3)))
+    B = jnp.asarray(np.asarray(A.todense()) @ Xt)
+    for method in ("cg", "bicgstab", "gmres", "amg", "direct"):
+        X, r = s.solve(A, B, method=method, tol=1e-8)
+        assert X.shape == (n, 3), method
+        assert r.converged, (method, r)
+        np.testing.assert_allclose(np.asarray(X), Xt, rtol=1e-4,
+                                   atol=1e-6, err_msg=method)
+    with pytest.raises(NotImplementedError):
+        s.solve(A, B, method="cg", precision="mixed")

@@ -154,6 +154,18 @@ class SparseSolver:
         if self.verbose:
             print(f"[SparseSolver] backend={sel_backend} method={sel_method}")
 
+        # Multi-RHS: a 2-D array b = (n, k) routes to the block/batched
+        # solvers (the reference loops sequentially per RHS,
+        # cudss_solver.py:297-324; here one compiled program covers all k).
+        if getattr(b, "ndim", 1) == 2 and hasattr(b, "dtype"):
+            if precision == "mixed":
+                raise NotImplementedError(
+                    "precision='mixed' supports one RHS; loop over columns "
+                    "or use precision='full' (block/batched path)")
+            return self._solve_multirhs(
+                A, b, x0, sel_backend, sel_method, tol, atol, maxiter, M,
+                restart, solve_method, **kwargs)
+
         if sel_backend == "krylov" and precision == "mixed":
             x, info, iters, res, rel = self._solve_krylov_mixed(
                 A, b, x0, sel_method, tol, atol, maxiter, M, restart,
@@ -246,6 +258,71 @@ class SparseSolver:
             return x, info, None, res, rel
         x, info, _, res, rel = _jitted_direct()(A, b)
         return x, info, None, res, rel
+
+    def _solve_multirhs(self, A, B, X0, sel_backend, method, tol, atol,
+                        maxiter, M, restart, solve_method, **kwargs):
+        """(n, k) RHS block: block CG for SPD methods (shared Krylov
+        space, kxk MXU Gram dots), vmapped solvers otherwise."""
+        from tpu_sparse.solvers import (batch_bicgstab, batch_gmres,
+                                        block_cg)
+
+        nrhs = B.shape[1]
+        if sel_backend == "amg":
+            from tpu_sparse.precond.amg import amg_preconditioner
+
+            cached = getattr(self, "_amg_cache", None)
+            if cached is None:
+                from tpu_sparse.utils.opcache import OperandCache
+
+                cached = self._amg_cache = OperandCache(max_entries=8)
+            M = cached.get_or_build(
+                A, lambda: amg_preconditioner(A, **kwargs),
+                extra=tuple(sorted(kwargs.items())))
+            maxiter = maxiter if maxiter is not None else 100
+            method = "cg"
+            sel_backend = "krylov"
+        if sel_backend == "direct":
+            from tpu_sparse.solvers import batch_direct
+            from tpu_sparse.direct import direct_residual_info
+
+            X = batch_direct(A, B)
+            infos = []
+            rels = []
+            for j in range(nrhs):
+                info_j, _, rel_j = direct_residual_info(A, B[:, j], X[:, j])
+                infos.append(info_j)
+                rels.append(rel_j)
+            info = jnp.where(jnp.all(jnp.stack(infos) == 0), 0,
+                             -1).astype(jnp.int32)
+            rel = jnp.max(jnp.stack(rels))
+            iters = None
+        elif method == "cg":
+            X, infos, iters, res = block_cg(A, B, X0, tol=tol, atol=atol,
+                                            maxiter=maxiter, M=M)
+            info = jnp.where(jnp.all(infos == 0), 0, -1).astype(jnp.int32)
+            bn = jnp.linalg.norm(B, axis=0)
+            rel = jnp.max(res / jnp.where(bn > 0, bn, 1.0))
+        elif method in ("bicgstab", "gmres"):
+            fn = batch_bicgstab if method == "bicgstab" else batch_gmres
+            kw = dict(tol=tol, atol=atol, maxiter=maxiter, M=M)
+            if method == "gmres":
+                kw.update(restart=restart, solve_method=solve_method)
+            X, infos, iters_v, res = fn(A, B, **kw)
+            info = jnp.where(jnp.all(infos == 0), 0, -1).astype(jnp.int32)
+            iters = jnp.max(iters_v)
+            bn = jnp.linalg.norm(B, axis=0)
+            rel = jnp.max(res / jnp.where(bn > 0, bn, 1.0))
+        else:
+            raise ValueError(
+                f"multi-RHS solve does not support method '{method}'")
+        info_v, iters_v, rel_v = jax.device_get(
+            (info, 0 if iters is None else iters, rel))
+        result = SolverResult(
+            x=X, converged=bool(info_v == 0),
+            iterations=None if iters is None else int(iters_v),
+            residual=float(rel_v), backend=sel_backend, method=method,
+        )
+        return X, result
 
     # -- shortcuts (reference solver.py:455-508) ----------------------------
 
