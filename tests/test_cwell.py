@@ -167,3 +167,39 @@ def test_cwell_in_cg():
     assert int(info) == 0
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_cwell_spmm_pallas_interpret():
+    """One-hot MXU SpMM kernel vs the XLA gather oracle."""
+    from tpu_sparse.kernels import pallas_cwell
+
+    A, _ = _random_csr(300, 260, 0.08, seed=13)
+    W = csr_to_cwell(A)
+    rng = np.random.default_rng(13)
+    B = jnp.asarray(rng.standard_normal((260, 5)).astype(np.float32))
+    y_ref = np.asarray(ref.cwell_spmm(W, B))
+    pallas_cwell._INTERPRET = True
+    try:
+        Y = pallas_cwell.cwell_spmm_pallas(W, B)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert Y is not None
+    assert Y.shape == (300, 5)
+    np.testing.assert_allclose(np.asarray(Y), y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cwell_spmm_pallas_interpret_stencil_wide_rhs():
+    from tpu_sparse.kernels import pallas_cwell
+
+    A = to_csr(generators.poisson3d_27pt(8, dtype=np.float32))
+    W = csr_to_cwell(A)
+    rng = np.random.default_rng(14)
+    B = jnp.asarray(rng.standard_normal((512, 17)).astype(np.float32))
+    y_ref = np.asarray(ref.cwell_spmm(W, B))
+    pallas_cwell._INTERPRET = True
+    try:
+        Y = pallas_cwell.cwell_spmm_pallas(W, B)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert Y is not None
+    np.testing.assert_allclose(np.asarray(Y), y_ref, rtol=1e-4, atol=1e-4)

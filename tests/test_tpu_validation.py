@@ -225,6 +225,28 @@ class TPUValidationRunner:
             self._check("df32 f64 CWELL SpMV", relc < 1e-12,
                         f"rel={relc:.1e}")
 
+    def run_cwell_spmm(self):
+        from tpu_sparse.kernels import pallas_cwell
+        from tpu_sparse.kernels import reference as kref
+        from tpu_sparse.sparse import generators
+        from tpu_sparse.sparse.convert import to_csr
+        from tpu_sparse.sparse.cwell import csr_to_cwell
+
+        rng = np.random.default_rng(5)
+        W = csr_to_cwell(to_csr(generators.poisson3d_27pt(
+            16, dtype=np.float32)))
+        B = jnp.asarray(rng.standard_normal((W.shape[1], 32)).astype(
+            np.float32))
+        Y = pallas_cwell.cwell_spmm_pallas(W, B)
+        if Y is None:
+            self._check("CWELL SpMM (one-hot MXU)", False, "unavailable")
+            return
+        Yr = np.asarray(kref.cwell_spmm(W, B))
+        rel = float(np.max(np.abs(np.asarray(Y) - Yr))
+                    / np.abs(Yr).max())
+        self._check("CWELL SpMM (one-hot MXU)", rel < 1e-4,
+                    f"rel={rel:.1e}")
+
     def run_all(self) -> bool:
         self.run_krylov()
         self.run_mixed()
@@ -232,6 +254,7 @@ class TPUValidationRunner:
         self.run_direct()
         self.run_pallas()
         self.run_df64()
+        self.run_cwell_spmm()
         ok = all(r.passed for r in self.records)
         for r in self.records:
             mark = "PASS" if r.passed else "FAIL"

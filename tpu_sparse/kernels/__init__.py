@@ -122,6 +122,12 @@ def spmm(A, B: jax.Array) -> jax.Array:
     from tpu_sparse.sparse.cwell import CWELL
 
     if isinstance(A, CWELL):
+        if _PALLAS_ENABLED and _on_tpu():
+            from tpu_sparse.kernels import pallas_cwell
+
+            y = pallas_cwell.cwell_spmm_pallas(A, B)
+            if y is not None:
+                return y
         return ref.cwell_spmm(A, B)
     if isinstance(A, BELL):
         if _PALLAS_ENABLED and _on_tpu():

@@ -302,6 +302,127 @@ def _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl, *, shape, rb):
     )(srow3, xh2d, xl2d, valsh, valsl, idx2)
 
 
+# ---------------------------------------------------------------------------
+# CWELL SpMM (multi-RHS): per-plane one-hot matmuls on the MXU
+# ---------------------------------------------------------------------------
+#
+# For SpMV the one-hot/slab approach measured 2.3x SLOWER than lane
+# gathers (ROADMAP perf item 2 dead-end list) — the (128, 256) one-hot
+# build cost isn't amortized by one output vector. With k RHS columns the
+# same one-hot feeds a (128,256)@(256,k) MXU matmul, so the build cost is
+# shared k ways and the FLOP overhead is only 2/fill vs the nonzeros.
+# B stays VMEM-resident in (m, KT) column tiles (grid dim 0), row blocks
+# stream as grid dim 1.
+
+_B_VMEM_ELEMS = 6 * 1024 * 1024  # B-tile budget: 24 MB f32
+
+
+def _cwell_spmm_kernel(srow_ref, b2d_ref, vals_ref, idx2_ref, y_ref,
+                       *, RB, S, KT):
+    lax_ = jax.lax
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+
+    col = lax_.broadcasted_iota(jnp.int32, (LW, 2 * LW), 1)
+
+    def s_body(s, carry):
+        rb, acc = carry
+        sr = srow_ref[0, rb, s]
+        Bwin = b2d_ref[pl.ds(lax_.mul(sr, i32(LW)), 2 * LW), :]  # (256, KT)
+        idx = idx2_ref[rb, s, :]            # (128,)
+        v = vals_ref[rb, s, :]
+        P = jnp.where(col == idx[:, None], v[:, None],
+                      jnp.zeros((), jnp.float32))
+        acc = acc + jnp.dot(P, Bwin, preferred_element_type=jnp.float32)
+        return rb, acc
+
+    def rb_body(rb, _):
+        acc = jnp.zeros((LW, KT), jnp.float32)
+        _, acc = lax_.fori_loop(0, S, s_body, (rb, acc), unroll=S)
+        y_ref[rb, :, :] = acc
+        return 0
+
+    lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "rb", "kt"))
+def _cwell_spmm_impl(vals, idx2, srow, B, *, shape, rb, kt):
+    with jax.enable_x64(False):
+        return _cwell_spmm_inner(vals, idx2, srow, B, shape=shape, rb=rb,
+                                 kt=kt)
+
+
+def _cwell_spmm_inner(vals, idx2, srow, B, *, shape, rb, kt):
+    nb, S, _ = vals.shape
+    n, m = shape
+    k = B.shape[1]
+    m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
+    k_pad = ((k + kt - 1) // kt) * kt
+    B2d = jnp.pad(B, ((0, m_pad - m), (0, k_pad - k)))
+    grid_i = (nb + rb - 1) // rb
+    nb_pad = grid_i * rb
+    if nb_pad != nb:
+        vals = jnp.pad(vals, ((0, nb_pad - nb), (0, 0), (0, 0)))
+        idx2 = jnp.pad(idx2, ((0, nb_pad - nb), (0, 0), (0, 0)))
+        srow = jnp.pad(srow, ((0, nb_pad - nb), (0, 0)))
+    srow3 = srow.reshape(grid_i, rb, S)
+    grid_j = k_pad // kt
+
+    kernel = functools.partial(_cwell_spmm_kernel, RB=rb, S=S, KT=kt)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb_pad, LW, k_pad), jnp.float32),
+        grid=(grid_j, grid_i),  # j outer: B tile loads once per sweep
+        in_specs=[
+            pl.BlockSpec((1, rb, S), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m_pad // LW * LW, kt), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, S, LW), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, S, LW), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, LW, kt), lambda j, i: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb_pad * S * LW * 2 * LW * k_pad,
+            bytes_accessed=(nb_pad * S * LW * 8 * grid_j
+                            + m_pad * k_pad * 4 + nb_pad * LW * k_pad * 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(srow3, B2d, vals, idx2)
+    return y.reshape(nb_pad * LW, k_pad)[:n, :k]
+
+
+def cwell_spmm_pallas(A: CWELL, B: jax.Array, rb: int | None = None):
+    """Pallas CWELL SpMM (Y = A @ B, dense B); None signals fallback."""
+    if not _HAS_PALLAS:
+        return None
+    n, m = A.shape
+    k = B.shape[1]
+    if A.vals.dtype != jnp.float32:
+        return None
+    if B.dtype != jnp.float32:
+        B = B.astype(jnp.float32)
+    m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
+    # pick the widest k tile that keeps the resident B tile in budget
+    kt = 128
+    while kt > 8 and m_pad * kt > _B_VMEM_ELEMS:
+        kt //= 2
+    if m_pad * kt > _B_VMEM_ELEMS:
+        return None
+    kt = min(kt, max(8, ((k + 7) // 8) * 8))
+    if A.planes > 64:
+        return None  # unrolled matmul chain gets too long
+    rb_eff = rb if rb is not None else (2 if A.planes > 16 else 4)
+    return _cwell_spmm_impl(A.vals, A.idx2, A.srow, B, shape=A.shape,
+                            rb=rb_eff, kt=kt)
+
+
 from tpu_sparse.utils.opcache import OperandCache  # noqa: E402
 
 _df_split_cache = OperandCache(max_entries=16)
