@@ -203,3 +203,28 @@ def test_cwell_spmm_pallas_interpret_stencil_wide_rhs():
         pallas_cwell._INTERPRET = False
     assert Y is not None
     np.testing.assert_allclose(np.asarray(Y), y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cwell_pallas_interpret_bf16():
+    from tpu_sparse.kernels import pallas_cwell
+
+    A = to_csr(generators.poisson3d_27pt(8, dtype=np.float32))
+    W = csr_to_cwell(A)
+    Wb = W.with_data(W.vals.astype(jnp.bfloat16)) if hasattr(W, 'with_data') \
+        else CWELL(W.vals.astype(jnp.bfloat16), W.idx2, W.srow, W.shape,
+                   nnz=W.nnz, fill=W.fill)
+    x = jnp.asarray(np.random.default_rng(15).standard_normal(512)
+                    .astype(np.float32))
+    # oracle: f32 accumulation over the SAME bf16-rounded values (the
+    # XLA reference accumulates in bf16, which is much less accurate
+    # than the kernel's f32 accumulators)
+    W32 = Wb.with_data(Wb.vals.astype(jnp.float32))
+    y_ref = np.asarray(ref.cwell_spmv(W32, x))
+    pallas_cwell._INTERPRET = True
+    try:
+        y = pallas_cwell.cwell_spmv_pallas(Wb, x)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert y is not None
+    assert y.dtype == jnp.float32  # result_type(bf16, f32)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-5)

@@ -73,7 +73,10 @@ def _cwell_kernel(srow_ref, x2d_ref, vals_ref, idx2_ref, y_ref, xw,
         hi = jnp.take_along_axis(
             xw[8:16, :], jnp.clip(idx - 128, 0, 127), axis=1)
         gathered = jnp.where(idx < 128, lo, hi)
-        acc = acc + vals_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :] * gathered
+        v = vals_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
+        if v.dtype != jnp.float32:  # bf16 stream, f32 accumulate
+            v = v.astype(jnp.float32)
+        acc = acc + v * gathered
         return rb, acc
 
     def rb_body(rb, _):
@@ -128,7 +131,8 @@ def _cwell_spmv_inner(vals, idx2, srow, x, *, shape, rb):
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * nb_pad * S * LW,
-            bytes_accessed=nb_pad * S * LW * 8 + (m_pad + nb_pad * LW) * 4,
+            bytes_accessed=(nb_pad * S * LW * (vals.dtype.itemsize + 4)
+                            + (m_pad + nb_pad * LW) * 4),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -150,12 +154,20 @@ def _pick_rb(S: int) -> int:
 
 
 def cwell_spmv_pallas(A: CWELL, x: jax.Array, rb: int | None = None):
-    """Pallas CWELL SpMV; returns None to signal fallback."""
+    """Pallas CWELL SpMV; returns None to signal fallback.
+
+    bf16 matrices run natively (vals stream at 2 B/slot, f32 gather and
+    accumulate, result cast to the operands' result dtype); f64 goes
+    through cwell_spmv_pallas_df.
+    """
     if not _HAS_PALLAS:
         return None
     n, m = A.shape
-    if A.vals.dtype != jnp.float32:
-        return None  # f64 → cwell_spmv_pallas_df; bf16 stays on XLA
+    if A.vals.dtype not in (jnp.float32, jnp.bfloat16):
+        return None  # f64 → cwell_spmv_pallas_df
+    out_dtype = jnp.result_type(A.vals.dtype, x.dtype)
+    if out_dtype not in (jnp.float32, jnp.bfloat16):
+        return None
     if x.dtype != jnp.float32:
         x = x.astype(jnp.float32)
     m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
@@ -163,8 +175,9 @@ def cwell_spmv_pallas(A: CWELL, x: jax.Array, rb: int | None = None):
         return None
     if A.planes % 8 != 0:
         return None
-    return _cwell_spmv_impl(A.vals, A.idx2, A.srow, x, shape=A.shape,
-                            rb=rb if rb is not None else _pick_rb(A.planes))
+    y = _cwell_spmv_impl(A.vals, A.idx2, A.srow, x, shape=A.shape,
+                         rb=rb if rb is not None else _pick_rb(A.planes))
+    return y.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
