@@ -266,3 +266,33 @@ def test_distributed_cg_general_matrix():
                                rtol=1e-7, atol=1e-9)
     # iteration counts match the serial solver (deterministic reductions)
     assert abs(int(iters) - int(iters_s)) <= 2
+
+
+def test_distributed_block_cg(mesh):
+    """Row-sharded multi-RHS block CG matches the serial block solve."""
+    from tpu_sparse.dist.solvers import distributed_block_cg
+    from tpu_sparse.solvers import block_cg
+
+    A = generators.poisson2d(16)  # n=256
+    rng = np.random.default_rng(40)
+    B = jnp.asarray(rng.standard_normal((256, 3)))
+    X_d, infos_d, iters_d, res_d = distributed_block_cg(
+        A, B, mesh=mesh, mode="gspmd", tol=1e-8)
+    assert np.all(np.asarray(infos_d) == 0)
+    X_s, infos_s, iters_s, _ = block_cg(A, B, tol=1e-8)
+    assert int(iters_d) == int(iters_s)  # same math, sharded execution
+    np.testing.assert_allclose(np.asarray(X_d), np.asarray(X_s),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_distributed_block_cg_halo(mesh):
+    from tpu_sparse.dist.solvers import distributed_block_cg
+
+    A = generators.poisson2d(16)
+    rng = np.random.default_rng(41)
+    Xt = np.asarray(rng.standard_normal((256, 2)))
+    B = jnp.asarray(np.asarray(A.todense()) @ Xt)
+    X, infos, _, _ = distributed_block_cg(A, B, mesh=mesh, mode="halo",
+                                          tol=1e-9)
+    assert np.all(np.asarray(infos) == 0)
+    np.testing.assert_allclose(np.asarray(X), Xt, rtol=1e-5, atol=1e-7)

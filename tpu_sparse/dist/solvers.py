@@ -163,3 +163,43 @@ def distributed_gmres(A, b: jax.Array, x0: Optional[jax.Array] = None,
 
     x, info, iters, res = _run(b_sh, x0_sh)
     return x[:n_orig], info, iters, res
+
+
+def distributed_block_cg(A, B: jax.Array, X0: Optional[jax.Array] = None,
+                         *, mesh: Optional[Mesh] = None,
+                         mode: str = "gspmd", tol: float = 1e-6,
+                         atol: float = 0.0, maxiter: Optional[int] = None,
+                         M: Optional[Callable] = None):
+    """Block CG with the (n, k) RHS block row-sharded over the mesh.
+
+    The k columns stay replicated; every iteration's single block matvec
+    feeds all k RHS (vmapped halo/gspmd SpMV) and the kxk Gram matmuls
+    all-reduce at the jit level. Identity-padded rows carry zero RHS, so
+    per-column norms and convergence are unchanged by the padding.
+    """
+    from tpu_sparse.solvers.block import block_cg
+
+    if mesh is None:
+        mesh = make_row_mesh()
+    n_orig = B.shape[0]
+    unit = _vector_unit(A)
+    _check_precond_divisible(n_orig, mesh, M, unit)
+    A_sh, matvec = distributed_matvec_op(A, mesh, mode)
+    n_dev = mesh.devices.size
+
+    def shard_rows(V):
+        n_pad = ((V.shape[0] + n_dev * unit - 1)
+                 // (n_dev * unit)) * (n_dev * unit)
+        V = jnp.pad(V, ((0, n_pad - V.shape[0]), (0, 0)))
+        return jax.device_put(V, row_sharding(mesh, ndim=2))
+
+    B_sh = shard_rows(B)
+    X0_sh = shard_rows(X0) if X0 is not None else None
+
+    @jax.jit
+    def _run(BB, XX0):
+        return block_cg(matvec, BB, XX0, tol=tol, atol=atol,
+                        maxiter=maxiter, M=M)
+
+    X, infos, iters, res = _run(B_sh, X0_sh)
+    return X[:n_orig], infos, iters, res
