@@ -149,6 +149,54 @@ def main():
     except Exception as e:  # pragma: no cover - never fail the bench
         extra["cwell_general_spmv_error"] = str(e)[:120]
 
+    # --- CWELL SpMM (one-hot MXU) + block CG vs vmapped batch ---
+    try:
+        from tpu_sparse.kernels import reference as _kref2
+        from tpu_sparse.kernels.pallas_cwell import cwell_spmm_pallas
+
+        Bg = jnp.asarray(rng.standard_normal(  # NameError if Wg absent
+            (Wg.shape[1], 32)).astype(np.float32))
+        if cwell_spmm_pallas(Wg, Bg) is not None:
+            dts = per_iter_time(
+                lambda y: cwell_spmm_pallas(Wg, y) * scale, Bg,
+                K1=3, K2=15)
+            dtx = per_iter_time(
+                lambda y: _kref2.cwell_spmm(Wg, y) * scale, Bg,
+                K1=1, K2=3)
+            extra.update({
+                "cwell_spmm32_gnnz_per_s": round(
+                    Wg.nnz * 32 / dts / 1e9, 2),
+                "cwell_spmm32_vs_xla": round(dtx / dts, 1),
+            })
+        del Bg
+    except Exception as e:  # pragma: no cover
+        extra["cwell_spmm_error"] = str(e)[:120]
+
+    try:
+        from tpu_sparse.solvers import batch_cg, block_cg
+
+        jax.config.update("jax_enable_x64", False)
+        Ab = generators.poisson2d(96, dtype=np.float32)  # n=9216
+        Bb = jnp.asarray(rng.standard_normal(
+            (Ab.shape[0], 8)).astype(np.float32))
+        fblk = jax.jit(lambda a, bb: block_cg(a, bb, tol=1e-5,
+                                              maxiter=2000))
+        fbat = jax.jit(lambda a, bb: batch_cg(a, bb, tol=1e-5,
+                                              maxiter=2000))
+        t_blk = wall_time(fblk, Ab, Bb, warmup=1, iters=3)
+        t_bat = wall_time(fbat, Ab, Bb, warmup=1, iters=3)
+        Xb, inf_b, it_blk, _ = fblk(Ab, Bb)
+        extra.update({
+            "block_cg_8rhs_ms": round(t_blk * 1e3, 1),
+            "block_cg_8rhs_iters": int(it_blk),
+            "block_cg_8rhs_converged": bool(
+                int(jnp.all(inf_b == 0)) == 1),
+            "block_cg_vs_batch_cg": round(t_bat / t_blk, 2),
+        })
+        del Ab, Bb
+    except Exception as e:  # pragma: no cover
+        extra["block_cg_error"] = str(e)[:120]
+
     # --- >100M-nnz 27-pt CG time-to-tol (north-star target) ---
     try:
         jax.config.update("jax_enable_x64", False)
