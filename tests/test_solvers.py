@@ -277,3 +277,117 @@ def test_block_cg_f32():
     X, infos, _, res = block_cg(A, B, tol=1e-5)
     assert X.dtype == jnp.float32
     assert np.all(np.asarray(infos) == 0)
+
+
+# ---------------------------------------------------------------------------
+# MINRES (symmetric indefinite)
+# ---------------------------------------------------------------------------
+
+
+def _indefinite_system(n=144, shift=1.5, seed=50):
+    """Shifted 2-D Laplacian A - shift*I: symmetric, indefinite for
+    shift inside the spectrum. Returned dense + as a DIA container."""
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson2d(int(np.sqrt(n)))
+    d0 = A.offsets.index(0)
+    data = A.data.at[d0].add(-shift)
+    from tpu_sparse.sparse.containers import DIA
+
+    return DIA(data, A.offsets, A.shape)
+
+
+def test_minres_spd_matches_cg():
+    from tpu_sparse.solvers import cg_full, minres_full
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson2d(10)
+    rng = np.random.default_rng(51)
+    b = jnp.asarray(rng.standard_normal(100))
+    x_m, info_m, it_m, _ = minres_full(A, b, tol=1e-10)
+    x_c, info_c, _, _ = cg_full(A, b, tol=1e-10)
+    assert int(info_m) == 0 and int(info_c) == 0
+    np.testing.assert_allclose(np.asarray(x_m), np.asarray(x_c),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_minres_indefinite():
+    """CG fails / is unreliable on indefinite A; MINRES must converge."""
+    from tpu_sparse.solvers import minres_full
+
+    A = _indefinite_system()
+    # verify indefiniteness
+    eig = np.linalg.eigvalsh(np.asarray(A.todense()))
+    assert eig.min() < 0 < eig.max()
+    rng = np.random.default_rng(52)
+    x_true = jnp.asarray(rng.standard_normal(A.shape[0]))
+    b = A @ x_true
+    x, info, iters, res = minres_full(A, b, tol=1e-9, maxiter=3000)
+    assert int(info) == 0, float(res)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_minres_scipy_parity():
+    import scipy.sparse.linalg as spl
+
+    from tpu_sparse.solvers import minres_full
+
+    A = _indefinite_system(n=100, shift=0.9)
+    Ad = np.asarray(A.todense())
+    rng = np.random.default_rng(53)
+    b = rng.standard_normal(100)
+    x, info, _, _ = minres_full(A, jnp.asarray(b), tol=1e-10, maxiter=2000)
+    x_sp, sp_info = spl.minres(Ad, b, rtol=1e-10, maxiter=2000)
+    assert int(info) == 0 and sp_info == 0
+    np.testing.assert_allclose(np.asarray(x), x_sp, rtol=1e-6, atol=1e-7)
+
+
+def test_minres_jit_and_preconditioned():
+    from tpu_sparse.precond import jacobi_preconditioner
+    from tpu_sparse.solvers import minres_full
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson2d(12)  # SPD; Jacobi M is SPD as required
+    rng = np.random.default_rng(54)
+    b = jnp.asarray(rng.standard_normal(144))
+    M = jacobi_preconditioner(A)
+    f = jax.jit(lambda a, rhs: minres_full(a, rhs, tol=1e-9, M=M))
+    x, info, iters, res = f(A, b)
+    assert int(info) == 0
+    rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+    assert rel < 1e-8
+
+
+def test_minres_grad_fd():
+    """Implicit-diff adjoint through MINRES, checked by finite differences."""
+    from tpu_sparse.autodiff import minres_diff
+
+    A = _indefinite_system(n=64, shift=1.2, seed=55)
+    rng = np.random.default_rng(55)
+    b = jnp.asarray(rng.standard_normal(64))
+
+    def loss(bb):
+        x, info, _, _ = minres_diff(A, bb, tol=1e-12, maxiter=2000)
+        return jnp.sum(x ** 2)
+
+    g = jax.grad(loss)(b)
+    e = jnp.zeros_like(b).at[7].set(1.0)
+    h = 1e-6
+    fd = (loss(b + h * e) - loss(b - h * e)) / (2 * h)
+    np.testing.assert_allclose(float(g[7]), float(fd), rtol=1e-4)
+
+
+def test_minres_router_and_failure():
+    from tpu_sparse.api.solver import SparseSolver
+    from tpu_sparse.sparse import generators
+
+    s = SparseSolver()
+    A = _indefinite_system(n=100, shift=0.7)
+    rng = np.random.default_rng(56)
+    b = jnp.asarray(rng.standard_normal(100))
+    x, r = s.solve(A, b, method="minres", tol=1e-8)
+    assert r.converged and r.method == "minres"
+    # truthful failure on maxiter exhaustion
+    x2, r2 = s.solve(A, b, method="minres", tol=1e-14, maxiter=3)
+    assert not r2.converged

@@ -33,6 +33,7 @@ from tpu_sparse.utils.tree import tree_norm, tree_sub
 class SolverMethod(Enum):
     CG = "cg"
     FCG = "fcg"
+    MINRES = "minres"
     BICGSTAB = "bicgstab"
     GMRES = "gmres"
     FGMRES = "fgmres"
@@ -302,8 +303,11 @@ class SparseSolver:
             info = jnp.where(jnp.all(infos == 0), 0, -1).astype(jnp.int32)
             bn = jnp.linalg.norm(B, axis=0)
             rel = jnp.max(res / jnp.where(bn > 0, bn, 1.0))
-        elif method in ("bicgstab", "gmres"):
-            fn = batch_bicgstab if method == "bicgstab" else batch_gmres
+        elif method in ("bicgstab", "gmres", "minres"):
+            from tpu_sparse.solvers import batch_minres
+
+            fn = {"bicgstab": batch_bicgstab, "gmres": batch_gmres,
+                  "minres": batch_minres}[method]
             kw = dict(tol=tol, atol=atol, maxiter=maxiter, M=M)
             if method == "gmres":
                 kw.update(restart=restart, solve_method=solve_method)
@@ -378,7 +382,7 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
         gmres_refined,
     )
 
-    if mixed and method in ("fcg", "fgmres"):
+    if mixed and method in ("fcg", "fgmres", "minres"):
         raise ValueError(
             f"{method} has no mixed-precision variant; use "
             "precision='full'")
@@ -411,6 +415,11 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
 
                 return fcg_diff(A, b, x0, tol=tol, atol=atol,
                                 maxiter=maxiter, M=M)
+            if method == "minres":
+                from tpu_sparse.autodiff import minres_diff
+
+                return minres_diff(A, b, x0, tol=tol, atol=atol,
+                                   maxiter=maxiter, M=M)
             if method == "fgmres":
                 from tpu_sparse.autodiff import fgmres_diff
 

@@ -4,7 +4,8 @@ from tpu_sparse.autodiff.implicit import (
     fcg_diff,
     fgmres_diff,
     gmres_diff,
+    minres_diff,
 )
 
 __all__ = ["cg_diff", "fcg_diff", "bicgstab_diff", "gmres_diff",
-           "fgmres_diff"]
+           "fgmres_diff", "minres_diff"]

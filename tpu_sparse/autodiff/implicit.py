@@ -44,6 +44,7 @@ from tpu_sparse.kernels import as_matvec, spmv
 from tpu_sparse.solvers.fcg import fcg_full
 from tpu_sparse.solvers.fgmres import fgmres_full
 from tpu_sparse.solvers.krylov import bicgstab_full, cg_full, gmres_full
+from tpu_sparse.solvers.minres import minres_full
 from tpu_sparse.sparse.containers import BSR, CSR, DIA, is_sparse
 from tpu_sparse.utils.tree import tree_map
 
@@ -53,12 +54,13 @@ _SOLVERS = {
     "bicgstab": bicgstab_full,
     "gmres": gmres_full,
     "fgmres": fgmres_full,
+    "minres": minres_full,
 }
 
 # 'symmetric' = the adjoint solve may reuse A (hermitian operators); FCG
 # additionally tolerates nonsymmetric M, so the forward M is reused too.
 _SYMMETRIC = {"cg": True, "fcg": True, "bicgstab": False,
-              "gmres": False, "fgmres": False}
+              "gmres": False, "fgmres": False, "minres": True}
 
 
 def _zero_cotangent(tree):
@@ -244,6 +246,14 @@ def fcg_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
     """Flexible CG with implicit-diff adjoint (A hermitian; M arbitrary)."""
     opts = (("tol", tol), ("atol", atol), ("maxiter", maxiter))
     return _dispatch("fcg", A, b, x0, M, opts)
+
+
+def minres_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
+                maxiter: Optional[int] = None, M=None):
+    """MINRES with implicit-diff adjoint (A symmetric indefinite ⇒ the
+    adjoint solve reuses A and M)."""
+    opts = (("tol", tol), ("atol", atol), ("maxiter", maxiter))
+    return _dispatch("minres", A, b, x0, M, opts)
 
 
 def fgmres_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,

@@ -19,8 +19,10 @@ from tpu_sparse.solvers.batched import (
     batch_cg,
     batch_direct,
     batch_gmres,
+    batch_minres,
 )
 from tpu_sparse.solvers.block import block_cg
+from tpu_sparse.solvers.minres import minres, minres_full
 
 
 def cg_differentiable(A, b, **kwargs):
@@ -50,8 +52,10 @@ def gmres_differentiable(A, b, **kwargs):
 __all__ = [
     "cg", "bicgstab", "gmres", "cg_full", "bicgstab_full", "gmres_full",
     "fcg", "fcg_full", "fgmres", "fgmres_full",
+    "minres", "minres_full",
     "cg_refined", "bicgstab_refined", "gmres_refined", "refined_solve",
-    "batch_cg", "batch_bicgstab", "batch_gmres", "batch_direct",
+    "batch_cg", "batch_bicgstab", "batch_gmres", "batch_minres",
+    "batch_direct",
     "block_cg",
     "cg_differentiable", "bicgstab_differentiable", "gmres_differentiable",
 ]

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_sparse.solvers.krylov import bicgstab_full, cg_full, gmres_full
+from tpu_sparse.solvers.minres import minres_full
 
 
 def _batch(solver_full, A, B, **kw):
@@ -42,6 +43,12 @@ def batch_gmres(A, B: jax.Array, *, tol: float = 1e-5, atol: float = 0.0,
                 solve_method: str = "batched"):
     return _batch(gmres_full, A, B, tol=tol, atol=atol, restart=restart,
                   maxiter=maxiter, M=M, solve_method=solve_method)
+
+
+def batch_minres(A, B: jax.Array, *, tol: float = 1e-5, atol: float = 0.0,
+                 maxiter: Optional[int] = None, M=None):
+    return _batch(minres_full, A, B, tol=tol, atol=atol, maxiter=maxiter,
+                  M=M)
 
 
 def batch_direct(A, B: jax.Array):
