@@ -101,3 +101,37 @@ def test_bicgstab_complex_sparse():
     assert int(info) == 0
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
                                rtol=1e-7, atol=1e-8)
+
+
+def test_minres_complex_hermitian():
+    """MINRES on a hermitian indefinite complex system."""
+    from tpu_sparse.solvers import minres_full
+
+    rng = np.random.default_rng(60)
+    n = 48
+    Q = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (Q + Q.conj().T) / 2
+    H = H - 0.5 * np.trace(H).real / n * np.eye(n)  # push eigs both signs
+    eig = np.linalg.eigvalsh(H)
+    assert eig.min() < 0 < eig.max()
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = jnp.asarray(H @ x_true)
+    x, info, iters, res = minres_full(jnp.asarray(H), b, tol=1e-10,
+                                      maxiter=2000)
+    assert int(info) == 0, float(res)
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_block_cg_complex_hpd():
+    """Block CG on a hermitian positive-definite complex system."""
+    from tpu_sparse.solvers import block_cg
+
+    rng = np.random.default_rng(61)
+    n, k = 40, 3
+    Q = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = Q @ Q.conj().T / n + 2 * np.eye(n)
+    X_true = rng.standard_normal((n, k)) + 1j * rng.standard_normal((n, k))
+    B = jnp.asarray(H @ X_true)
+    X, infos, iters, res = block_cg(jnp.asarray(H), B, tol=1e-10)
+    assert np.all(np.asarray(infos) == 0)
+    np.testing.assert_allclose(np.asarray(X), X_true, rtol=1e-6, atol=1e-7)
