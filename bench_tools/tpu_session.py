@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""One-shot on-chip session: validation runner + kernel spot measurements
+for the round-2 additions. Run when the TPU tunnel is up:
+
+    python bench_tools/tpu_session.py
+
+Prints one labelled line per measurement (not the driver bench format —
+that stays bench.py)."""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+from bench import per_iter_time, wall_time  # noqa: E402
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    from tpu_sparse.sparse import generators
+    from tpu_sparse.sparse.convert import to_csr
+    from tpu_sparse.sparse.cwell import csr_to_cwell
+
+    rng = np.random.default_rng(0)
+    scale = np.float32(1 / 27)
+
+    # CWELL pack on host CPU, then ship
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        W = csr_to_cwell(to_csr(generators.poisson3d_27pt(
+            64, dtype=np.float32)))
+    W = jax.device_put(W, jax.devices()[0])
+    v = jnp.asarray(rng.standard_normal(W.shape[0]).astype(np.float32))
+
+    # 1) SpMM sweep over kt/rb
+    from tpu_sparse.kernels import reference as kref
+    from tpu_sparse.kernels.pallas_cwell import (cwell_spmm_pallas,
+                                                 cwell_spmv_pallas)
+
+    for k in (8, 32, 128):
+        B = jnp.asarray(rng.standard_normal((W.shape[1], k)).astype(
+            np.float32))
+        if cwell_spmm_pallas(W, B) is None:
+            print(f"spmm k={k}: kernel unavailable", flush=True)
+            continue
+        dt = per_iter_time(lambda y: cwell_spmm_pallas(W, y) * scale, B,
+                           K1=2, K2=10)
+        print(f"spmm k={k}: {W.nnz * k / dt / 1e9:.1f} Gnnz/s "
+              f"({dt*1e6:.0f} us)", flush=True)
+        if k == 32:
+            dtx = per_iter_time(lambda y: kref.cwell_spmm(W, y) * scale,
+                                B, K1=1, K2=3)
+            print(f"spmm k=32 XLA: {W.nnz * 32 / dtx / 1e9:.2f} Gnnz/s "
+                  f"-> pallas speedup {dtx/dt:.1f}x", flush=True)
+
+    # 2) bf16 CWELL SpMV
+    Wb = W.with_data(W.vals.astype(jnp.bfloat16))
+    y = cwell_spmv_pallas(Wb, v)
+    if y is not None:
+        dtb = per_iter_time(
+            lambda z: cwell_spmv_pallas(Wb, z).astype(jnp.float32) * scale,
+            v)
+        dtf = per_iter_time(
+            lambda z: cwell_spmv_pallas(W, z) * scale, v)
+        print(f"cwell bf16: {W.nnz/dtb/1e9:.1f} Gnnz/s vs f32 "
+              f"{W.nnz/dtf/1e9:.1f}", flush=True)
+
+    # 3) block CG vs batch CG on chip
+    from tpu_sparse.solvers import batch_cg, block_cg
+
+    A = generators.poisson2d(96, dtype=np.float32)
+    Bb = jnp.asarray(rng.standard_normal((A.shape[0], 8)).astype(
+        np.float32))
+    fblk = jax.jit(lambda a, bb: block_cg(a, bb, tol=1e-5, maxiter=2000))
+    fbat = jax.jit(lambda a, bb: batch_cg(a, bb, tol=1e-5, maxiter=2000))
+    t1 = wall_time(fblk, A, Bb, warmup=1, iters=3)
+    t2 = wall_time(fbat, A, Bb, warmup=1, iters=3)
+    X, inf, it, _ = fblk(A, Bb)
+    print(f"block_cg 8rhs: {t1*1e3:.1f} ms ({int(it)} iters, "
+          f"conv={bool(int(jnp.all(inf == 0)))}) vs batch {t2*1e3:.1f} ms "
+          f"-> {t2/t1:.2f}x", flush=True)
+
+    # 4) block PCR vs banded LU scan
+    from tpu_sparse.direct import banded_lu_solve, block_pcr_solve
+
+    Aw = generators.poisson2d(128)  # n=16384, bandwidth 128, f64
+    bw = Aw @ jnp.ones(Aw.shape[0])
+    fp = jax.jit(lambda a, r: block_pcr_solve(a, r))
+    fl = jax.jit(lambda a, r: banded_lu_solve(a, r))
+    tp = wall_time(fp, Aw, bw, warmup=1, iters=3)
+    tl = wall_time(fl, Aw, bw, warmup=1, iters=3)
+    xp = fp(Aw, bw)
+    rel = float(jnp.linalg.norm(bw - Aw @ xp) / jnp.linalg.norm(bw))
+    print(f"block_pcr n=16384 w=128: {tp*1e3:.1f} ms (rel {rel:.1e}) vs "
+          f"banded LU scan {tl*1e3:.1f} ms -> {tl/tp:.1f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
