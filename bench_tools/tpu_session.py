@@ -90,6 +90,7 @@ def main():
     # 4) block PCR vs banded LU scan
     from tpu_sparse.direct import banded_lu_solve, block_pcr_solve
 
+    jax.config.update("jax_enable_x64", True)
     Aw = generators.poisson2d(128)  # n=16384, bandwidth 128, f64
     bw = Aw @ jnp.ones(Aw.shape[0])
     fp = jax.jit(lambda a, r: block_pcr_solve(a, r))
