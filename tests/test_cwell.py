@@ -228,3 +228,84 @@ def test_cwell_pallas_interpret_bf16():
     assert y is not None
     assert y.dtype == jnp.float32  # result_type(bf16, f32)
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cwellseg_spmv_matches_oracle():
+    """Column-segmented CWELL for m beyond the VMEM x cap."""
+    from tpu_sparse.sparse.cwell import CWELLSeg, csr_to_cwell_segments
+
+    A, Ad = _random_csr(600, 1500, 0.02, seed=16)
+    W = csr_to_cwell_segments(A, seg_cols=512)
+    assert isinstance(W, CWELLSeg)
+    assert len(W.segments) == 3
+    assert W.nnz == A.nnz
+    x = jnp.asarray(np.random.default_rng(16).standard_normal(1500)
+                    .astype(np.float32))
+    y = spmv(W, x)
+    np.testing.assert_allclose(np.asarray(y), Ad @ np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+    # SpMM, transpose, and CSR round trip
+    B = jnp.asarray(np.random.default_rng(17).standard_normal((1500, 4))
+                    .astype(np.float32))
+    Y = W @ B
+    np.testing.assert_allclose(np.asarray(Y), Ad @ np.asarray(B),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(W.tocsr().todense()), Ad,
+                               rtol=1e-6, atol=1e-6)
+    xt = jnp.asarray(np.random.default_rng(18).standard_normal(600)
+                     .astype(np.float32))
+    yt = spmv(W.T, xt)
+    np.testing.assert_allclose(np.asarray(yt), Ad.T @ np.asarray(xt),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_cwellseg_solver_and_grad():
+    """CWELLSeg through CG + the implicit-diff adjoint."""
+    from tpu_sparse.autodiff import cg_diff
+    from tpu_sparse.sparse.convert import to_csr
+    from tpu_sparse.sparse.cwell import csr_to_cwell_segments
+
+    A = to_csr(generators.poisson2d(22))  # n=484
+    W = csr_to_cwell_segments(A, seg_cols=256)
+    assert len(W.segments) > 1
+    rng = np.random.default_rng(19)
+    b = jnp.asarray(rng.standard_normal(484))
+
+    x, info, iters, res = cg_diff(W, b, tol=1e-10)
+    assert int(info) == 0
+
+    def loss(bb):
+        return jnp.sum(cg_diff(W, bb, tol=1e-12)[0] ** 2)
+
+    g = jax.grad(loss)(b)
+    e = jnp.zeros_like(b).at[3].set(1.0)
+    h = 1e-6
+    fd = (loss(b + h * e) - loss(b - h * e)) / (2 * h)
+    np.testing.assert_allclose(float(g[3]), float(fd), rtol=1e-4)
+
+
+def test_to_tpu_operator_promotes_wide_to_segments():
+    from tpu_sparse.sparse.cwell import CWELLSeg
+    from tpu_sparse.sparse.optimize import to_tpu_operator
+    import scipy.sparse as sp
+    from tpu_sparse.sparse.convert import csr_from_arrays
+
+    # wide banded-random matrix, m > the 1.5M cap, tiny density so the
+    # host pack stays fast
+    n = 512
+    m = 1_600_000
+    rng = np.random.default_rng(20)
+    rows = np.repeat(np.arange(n), 16)
+    # column locality per 128-row block (CWELL's packing requirement):
+    # each block's rows draw from the same ~1K-column neighborhood
+    cols = ((rows // 128) * 400_000 + rng.integers(0, 1024,
+                                                   rows.size)) % m
+    Asp = sp.coo_matrix((np.ones(rows.size, np.float32),
+                         (rows, cols)), shape=(n, m)).tocsr()
+    A = csr_from_arrays(Asp.data, Asp.indices, Asp.indptr, (n, m))
+    W = to_tpu_operator(A)
+    assert isinstance(W, CWELLSeg)
+    x = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    y = spmv(W, x)
+    y_ref = Asp @ np.asarray(x)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)

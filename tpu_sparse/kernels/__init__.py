@@ -34,8 +34,16 @@ def set_pallas_enabled(enabled: bool) -> None:
 def spmv(A, x: jax.Array) -> jax.Array:
     """y = A @ x for any container / dense matrix."""
     from tpu_sparse.sparse.bell import BELL
-    from tpu_sparse.sparse.cwell import CWELL
+    from tpu_sparse.sparse.cwell import CWELL, CWELLSeg
 
+    if isinstance(A, CWELLSeg):
+        # column segments: each reuses the full CWELL dispatch (Pallas
+        # f32/bf16/f64-DF on TPU, XLA elsewhere) on its own x slice
+        y = None
+        for W, j0, w in zip(A.segments, A.starts, A.widths):
+            t = spmv(W, jax.lax.slice_in_dim(x, j0, j0 + w))
+            y = t if y is None else y + t
+        return y
     if isinstance(A, CWELL):
         if _PALLAS_ENABLED and _on_tpu():
             from tpu_sparse.kernels import pallas_cwell
@@ -99,8 +107,14 @@ def spmv_reference(A, x: jax.Array) -> jax.Array:
     carry no JVP rule) — e.g. the pattern-gradient vjp in autodiff.
     """
     from tpu_sparse.sparse.bell import BELL
-    from tpu_sparse.sparse.cwell import CWELL
+    from tpu_sparse.sparse.cwell import CWELL, CWELLSeg
 
+    if isinstance(A, CWELLSeg):
+        y = None
+        for W, j0, w in zip(A.segments, A.starts, A.widths):
+            t = ref.cwell_spmv(W, jax.lax.slice_in_dim(x, j0, j0 + w))
+            y = t if y is None else y + t
+        return y
     if isinstance(A, CWELL):
         return ref.cwell_spmv(A, x)
     if isinstance(A, BELL):
@@ -119,8 +133,14 @@ def spmv_reference(A, x: jax.Array) -> jax.Array:
 def spmm(A, B: jax.Array) -> jax.Array:
     """Y = A @ B with dense B (multi-RHS)."""
     from tpu_sparse.sparse.bell import BELL
-    from tpu_sparse.sparse.cwell import CWELL
+    from tpu_sparse.sparse.cwell import CWELL, CWELLSeg
 
+    if isinstance(A, CWELLSeg):
+        Y = None
+        for W, j0, w in zip(A.segments, A.starts, A.widths):
+            T = spmm(W, jax.lax.slice_in_dim(B, j0, j0 + w, axis=0))
+            Y = T if Y is None else Y + T
+        return Y
     if isinstance(A, CWELL):
         if _PALLAS_ENABLED and _on_tpu():
             from tpu_sparse.kernels import pallas_cwell

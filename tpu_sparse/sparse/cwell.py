@@ -222,6 +222,120 @@ def csr_to_cwell(A: CSR, *, plane_pad: int = 8) -> CWELL:
                  (n, m), nnz=nnz, fill=fill)
 
 
+@jax.tree_util.register_pytree_node_class
+class CWELLSeg:
+    """Column-segmented CWELL: general structure beyond the VMEM x cap.
+
+    The Pallas CWELL kernel needs x fully VMEM-resident (~1.5M elements);
+    for wider matrices the columns are split into 256-aligned segments,
+    each packed as its own CWELL against its own x slice, and
+    ``y = Σ_seg W_seg @ x[start : start+width]``. Every segment reuses the
+    unmodified kernel (including the f64 double-f32 and bf16 variants);
+    segments with no nonzeros are dropped.
+    """
+
+    def __init__(self, segments, starts, widths, shape, nnz=None):
+        self.segments = tuple(segments)
+        self.starts = tuple(int(s) for s in starts)
+        self.widths = tuple(int(w) for w in widths)
+        self.shape = tuple(int(s) for s in shape)
+        self._nnz = None if nnz is None else int(nnz)
+
+    def tree_flatten(self):
+        return (self.segments,), (self.starts, self.widths, self.shape,
+                                  self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1], aux[2], nnz=aux[3])
+
+    @property
+    def dtype(self):
+        return self.segments[0].dtype
+
+    @property
+    def nnz(self) -> int:
+        if self._nnz is not None:
+            return self._nnz
+        return sum(w.nnz for w in self.segments)
+
+    @property
+    def fill(self) -> float:
+        slots = sum(w.n_blocks * w.planes * LW for w in self.segments)
+        return self.nnz / max(slots, 1)
+
+    def tocsr(self) -> CSR:
+        import scipy.sparse as sp
+
+        n, m = self.shape
+        parts = []
+        for W, j0 in zip(self.segments, self.starts):
+            C = W.tocsr()
+            S = sp.csr_matrix((np.asarray(C.data), np.asarray(C.indices),
+                               np.asarray(C.indptr)), shape=C.shape).tocoo()
+            parts.append(sp.coo_matrix(
+                (S.data, (S.row, S.col + j0)), shape=(n, m)))
+        total = parts[0] if parts else sp.coo_matrix((n, m))
+        for p in parts[1:]:
+            total = total + p
+        A = total.tocsr()
+        from tpu_sparse.sparse.convert import csr_from_arrays
+
+        return csr_from_arrays(A.data, A.indices, A.indptr, (n, m))
+
+    def todense(self) -> jax.Array:
+        return jnp.asarray(self.tocsr().todense())
+
+    @property
+    def T(self) -> "CWELLSeg":
+        """Transpose (host-side repack; not jit-safe)."""
+        At = self.tocsr().T
+        return csr_to_cwell_segments(
+            At, seg_cols=max(w for w in self.widths))
+
+    def __matmul__(self, x):
+        from tpu_sparse.kernels import spmm, spmv
+
+        if x.ndim == 1:
+            return spmv(self, x)
+        return spmm(self, x)
+
+    def __repr__(self):
+        return (f"CWELLSeg(shape={self.shape}, "
+                f"segments={len(self.segments)}, nnz={self.nnz})")
+
+
+def csr_to_cwell_segments(A: CSR, *, seg_cols: int = 1 << 20,
+                          plane_pad: int = 8) -> CWELLSeg:
+    """Split A into 256-aligned column segments and pack each as CWELL."""
+    import scipy.sparse as sp
+
+    assert seg_cols % WIN == 0, "segment width must be 256-aligned"
+    n, m = A.shape
+    S = sp.csr_matrix(
+        (np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr)),
+        shape=(n, m)).tocsc()
+    from tpu_sparse.sparse.convert import csr_from_arrays
+
+    segments, starts, widths = [], [], []
+    for j0 in range(0, m, seg_cols):
+        j1 = min(j0 + seg_cols, m)
+        sub = S[:, j0:j1].tocsr()
+        if sub.nnz == 0:
+            continue
+        Wc = csr_to_cwell(csr_from_arrays(sub.data, sub.indices,
+                                          sub.indptr, (n, j1 - j0)),
+                          plane_pad=plane_pad)
+        segments.append(Wc)
+        starts.append(j0)
+        widths.append(j1 - j0)
+    if not segments:  # all-zero matrix: keep one empty segment
+        segments = [csr_to_cwell(A, plane_pad=plane_pad)]
+        starts, widths = [0], [m]
+    return CWELLSeg(segments, starts, widths, (n, m),
+                    nnz=int(np.asarray(A.indptr)[-1]))
+
+
 def rcm_permutation(A: CSR) -> np.ndarray:
     """Reverse-Cuthill-McKee ordering (host, scipy) — bandwidth/locality
     reduction so arbitrary matrices pack into CWELL at high fill."""
@@ -235,3 +349,4 @@ def rcm_permutation(A: CSR) -> np.ndarray:
 
 
 SPARSE_TYPES.append(CWELL)
+SPARSE_TYPES.append(CWELLSeg)

@@ -26,7 +26,7 @@ import numpy as np
 from tpu_sparse.sparse.bell import BELL, bsr_to_bell
 from tpu_sparse.sparse.containers import BSR, COO, CSR, DIA
 from tpu_sparse.sparse.convert import csr_to_bsr, csr_to_dia, to_csr
-from tpu_sparse.sparse.cwell import CWELL, csr_to_cwell
+from tpu_sparse.sparse.cwell import CWELL, CWELLSeg, csr_to_cwell
 
 
 def _block_fill_ratio(A: CSR, bs: int) -> float:
@@ -44,9 +44,9 @@ def _block_fill_ratio(A: CSR, bs: int) -> float:
 def to_tpu_operator(A, *, max_diags: int = 64, block_size: int = 8,
                     min_block_fill: float = 0.35,
                     min_cwell_fill: float = 0.25,
-                    verbose: bool = False) -> Union[DIA, BELL, CWELL, CSR]:
+                    verbose: bool = False) -> Union[DIA, BELL, CWELL, CWELLSeg, CSR]:
     """Promote ``A`` to the best TPU format (host-side analysis)."""
-    if isinstance(A, (DIA, BELL, CWELL)):
+    if isinstance(A, (DIA, BELL, CWELL, CWELLSeg)):
         return A
     Ac = to_csr(A)
     n, m = Ac.shape
@@ -57,12 +57,28 @@ def to_tpu_operator(A, *, max_diags: int = 64, block_size: int = 8,
             print(f"[to_tpu_operator] DIA with {dia.ndiag} diagonals")
         return dia
 
-    cw = csr_to_cwell(Ac)
-    if cw.fill >= min_cwell_fill:
-        if verbose:
-            print(f"[to_tpu_operator] CWELL fill={cw.fill:.2f} "
-                  f"S={cw.planes}")
-        return cw
+    # Past the Pallas kernel's VMEM x cap, a monolithic CWELL can only run
+    # the XLA path — pack column segments instead (each segment's x slice
+    # is VMEM-resident; y sums across segments). Per-segment plane padding
+    # costs some fill, and even half-fill Pallas beats the segment-sum
+    # fallback by orders of magnitude, so the bar is half the usual one.
+    from tpu_sparse.sparse.cwell import csr_to_cwell_segments
+
+    _X_CAP = 1536 * 1024  # mirrors kernels.pallas_cwell._X_VMEM_LIMIT
+    if m > _X_CAP:
+        seg = csr_to_cwell_segments(Ac, seg_cols=1 << 20)
+        if seg.fill >= min_cwell_fill * 0.5:
+            if verbose:
+                print(f"[to_tpu_operator] CWELLSeg fill={seg.fill:.2f} "
+                      f"segments={len(seg.segments)}")
+            return seg
+    else:
+        cw = csr_to_cwell(Ac)
+        if cw.fill >= min_cwell_fill:
+            if verbose:
+                print(f"[to_tpu_operator] CWELL fill={cw.fill:.2f} "
+                      f"S={cw.planes}")
+            return cw
 
     if n % block_size == 0 and m % block_size == 0:
         fill = _block_fill_ratio(Ac, block_size)
@@ -74,5 +90,5 @@ def to_tpu_operator(A, *, max_diags: int = 64, block_size: int = 8,
 
     if verbose:
         print(f"[to_tpu_operator] CSR general path "
-              f"(CWELL fill {cw.fill:.2f} below {min_cwell_fill})")
+              f"(CWELL fill below {min_cwell_fill})")
     return Ac
