@@ -172,3 +172,44 @@ def test_duplicate_entries_sum_in_all_conversions(rng):
     np.testing.assert_allclose(np.asarray(Adia.todense()), dense)
     Absr = csr_to_bsr(Acsr, 4)
     np.testing.assert_allclose(np.asarray(Absr.todense()), dense)
+
+
+def test_promoted_operator_fuzz_matches_csr_oracle():
+    """Whatever format to_tpu_operator picks, spmv/spmm must match the
+    CSR oracle (dispatch-regression fuzz across structures/dtypes)."""
+    import scipy.sparse as sp
+
+    from tpu_sparse.kernels import spmm, spmv
+    from tpu_sparse.sparse.convert import csr_from_arrays
+    from tpu_sparse.sparse.optimize import to_tpu_operator
+
+    rng = np.random.default_rng(70)
+    cases = []
+    # banded
+    cases.append(sp.diags([rng.standard_normal(99), 4 + np.zeros(100),
+                           rng.standard_normal(99)],
+                          [-1, 0, 1]).tocsr())
+    # random blocks
+    Bsp = sp.random(120, 120, density=0.05, random_state=7,
+                    format="csr")
+    cases.append(Bsp + sp.eye(120))
+    # clustered columns (CWELL-friendly)
+    rows = np.repeat(np.arange(256), 6)
+    cols = (rows // 128) * 300 + rng.integers(0, 200, rows.size)
+    cases.append(sp.coo_matrix(
+        (rng.standard_normal(rows.size), (rows, cols % 500)),
+        shape=(256, 500)).tocsr())
+    for i, S in enumerate(cases):
+        S = S.tocsr().astype(np.float32)
+        A = csr_from_arrays(S.data, S.indices, S.indptr, S.shape)
+        W = to_tpu_operator(A)
+        x = jnp.asarray(rng.standard_normal(S.shape[1]).astype(
+            np.float32))
+        np.testing.assert_allclose(np.asarray(spmv(W, x)), S @
+                                   np.asarray(x), rtol=2e-4, atol=2e-4,
+                                   err_msg=f"case {i} {type(W).__name__}")
+        B = jnp.asarray(rng.standard_normal((S.shape[1], 3)).astype(
+            np.float32))
+        np.testing.assert_allclose(np.asarray(spmm(W, B)), S @
+                                   np.asarray(B), rtol=2e-4, atol=2e-4,
+                                   err_msg=f"case {i} {type(W).__name__}")
