@@ -137,7 +137,8 @@ def run_all_benchmarks(config: BenchmarkConfig) -> List[BenchmarkResult]:
             for backend in config.backends:
                 methods = {
                     "krylov": [m for m in config.methods
-                               if m in ("cg", "bicgstab", "gmres")],
+                               if m in ("cg", "fcg", "minres", "bicgstab",
+                                        "gmres", "fgmres")],
                     "amg": ["amg"],
                     "direct": ["direct"],
                 }[backend]
