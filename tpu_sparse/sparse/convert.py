@@ -208,4 +208,6 @@ def to_csr(A) -> CSR:
                    jnp.asarray(indptr), A.shape)
     if isinstance(A, BSR):
         return coo_to_csr(A.tocoo())
+    if hasattr(A, "tocsr"):  # CWELL / CWELLSeg / BELL host-side repacks
+        return A.tocsr()
     return dense_to_csr(A)
