@@ -88,3 +88,41 @@ def test_native_setup_solves_like_scipy_setup():
     x, info, iters, _ = cg_full(A, b, tol=1e-8, M=M, maxiter=200)
     assert int(info) == 0
     assert int(iters) < 60
+
+
+def test_native_cwell_pack_matches_numpy():
+    """C++ CWELL pack must equal the numpy pack bit-for-bit."""
+    import scipy.sparse as sp
+
+    from tpu_sparse import native
+    from tpu_sparse.sparse import cwell as cw
+    from tpu_sparse.sparse.convert import csr_from_arrays
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    for seed, (n, m, dens, dt) in enumerate(
+            [(500, 700, 0.05, np.float32), (130, 90, 0.3, np.float64)]):
+        S = sp.random(n, m, density=dens, random_state=seed,
+                      format="csr").astype(dt)
+        S.sort_indices()
+        A = csr_from_arrays(S.data, S.indices, S.indptr, S.shape)
+        W = cw.csr_to_cwell(A)  # numpy path (nnz < 1M)
+        packed = native.cwell_pack(np.asarray(A.indptr),
+                                   np.asarray(A.indices),
+                                   np.asarray(A.data), A.shape)
+        assert packed is not None
+        v, i2, sr, Sp = packed
+        assert Sp == W.planes
+        assert np.array_equal(v, np.asarray(W.vals))
+        assert np.array_equal(i2, np.asarray(W.idx2))
+        assert np.array_equal(sr, np.asarray(W.srow))
+
+
+def test_cols_sorted_guard():
+    from tpu_sparse.sparse.cwell import _cols_sorted
+
+    indptr = np.array([0, 3, 5], np.int64)
+    assert _cols_sorted(indptr, np.array([0, 2, 7, 1, 3], np.int64))
+    assert not _cols_sorted(indptr, np.array([0, 7, 2, 1, 3], np.int64))
+    # descending across a row boundary is fine
+    assert _cols_sorted(indptr, np.array([5, 6, 9, 0, 1], np.int64))

@@ -38,11 +38,19 @@ def spmv(A, x: jax.Array) -> jax.Array:
 
     if isinstance(A, CWELLSeg):
         # column segments: each reuses the full CWELL dispatch (Pallas
-        # f32/bf16/f64-DF on TPU, XLA elsewhere) on its own x slice
+        # f32/bf16/f64-DF on TPU, XLA elsewhere) on its own x slice, and
+        # covers only its touched row-block range
+        n = A.shape[0]
         y = None
-        for W, j0, w in zip(A.segments, A.starts, A.widths):
+        for W, j0, w, r0 in zip(A.segments, A.starts, A.widths,
+                                A.rstarts):
             t = spmv(W, jax.lax.slice_in_dim(x, j0, j0 + w))
-            y = t if y is None else y + t
+            if W.shape[0] == n and r0 == 0:
+                y = t if y is None else y + t
+            else:
+                if y is None:
+                    y = jnp.zeros((n,), t.dtype)
+                y = y.at[r0:r0 + W.shape[0]].add(t)
         return y
     if isinstance(A, CWELL):
         if _PALLAS_ENABLED and _on_tpu():
@@ -110,10 +118,17 @@ def spmv_reference(A, x: jax.Array) -> jax.Array:
     from tpu_sparse.sparse.cwell import CWELL, CWELLSeg
 
     if isinstance(A, CWELLSeg):
+        n = A.shape[0]
         y = None
-        for W, j0, w in zip(A.segments, A.starts, A.widths):
+        for W, j0, w, r0 in zip(A.segments, A.starts, A.widths,
+                                A.rstarts):
             t = ref.cwell_spmv(W, jax.lax.slice_in_dim(x, j0, j0 + w))
-            y = t if y is None else y + t
+            if W.shape[0] == n and r0 == 0:
+                y = t if y is None else y + t
+            else:
+                if y is None:
+                    y = jnp.zeros((n,), t.dtype)
+                y = y.at[r0:r0 + W.shape[0]].add(t)
         return y
     if isinstance(A, CWELL):
         return ref.cwell_spmv(A, x)
@@ -136,10 +151,17 @@ def spmm(A, B: jax.Array) -> jax.Array:
     from tpu_sparse.sparse.cwell import CWELL, CWELLSeg
 
     if isinstance(A, CWELLSeg):
+        n = A.shape[0]
         Y = None
-        for W, j0, w in zip(A.segments, A.starts, A.widths):
+        for W, j0, w, r0 in zip(A.segments, A.starts, A.widths,
+                                A.rstarts):
             T = spmm(W, jax.lax.slice_in_dim(B, j0, j0 + w, axis=0))
-            Y = T if Y is None else Y + T
+            if W.shape[0] == n and r0 == 0:
+                Y = T if Y is None else Y + T
+            else:
+                if Y is None:
+                    Y = jnp.zeros((n, T.shape[1]), T.dtype)
+                Y = Y.at[r0:r0 + W.shape[0], :].add(T)
         return Y
     if isinstance(A, CWELL):
         if _PALLAS_ENABLED and _on_tpu():

@@ -75,6 +75,16 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ts_dia_to_csr_f32.argtypes = [ctypes.c_int64, ctypes.c_int64,
                                       ctypes.c_int64, i64p, i64p, f32p,
                                       i64p, f32p, i32p]
+    lib.ts_cwell_planes.restype = None
+    lib.ts_cwell_planes.argtypes = [ctypes.c_int64, i64p, i32p, i32p]
+    lib.ts_cwell_fill_f32.restype = None
+    lib.ts_cwell_fill_f32.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64, i64p,
+                                      i32p, f32p, f32p, i32p, i32p]
+    lib.ts_cwell_fill_f64.restype = None
+    lib.ts_cwell_fill_f64.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64, i64p,
+                                      i32p, f64p, f64p, i32p, i32p]
     _lib = lib
     return _lib
 
@@ -184,3 +194,44 @@ def l1_row_norms(indptr: np.ndarray, data: np.ndarray) -> np.ndarray:
                         _ptr(data, ctypes.c_double),
                         _ptr(out, ctypes.c_double))
     return out
+
+
+def cwell_pack(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+               shape: Tuple[int, int], plane_pad: int = 8):
+    """Pack CSR arrays into CWELL (vals, idx2, srow, S) via the C++
+    kernels: two streaming passes, threaded over row blocks, each output
+    element written once (the numpy pipeline's ~20 fresh intermediates
+    cost ~6 s/GB in page faults on this host). Requires column-sorted
+    indices. Returns None if the native library is unavailable or the
+    dtype is unsupported."""
+    lib = _load()
+    if lib is None:
+        return None
+    if data.dtype == np.float32:
+        fill_fn, ct = lib.ts_cwell_fill_f32, ctypes.c_float
+    elif data.dtype == np.float64:
+        fill_fn, ct = lib.ts_cwell_fill_f64, ctypes.c_double
+    else:
+        return None
+    n, m = shape
+    LW = 128
+    nb = max((n + LW - 1) // LW, 1)
+    m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
+    rmax = m_pad // LW - 2
+    indptr = _as(indptr, np.int64)
+    indices = _as(indices, np.int32)
+    data = np.ascontiguousarray(data)
+    S_b = np.empty(nb, dtype=np.int32)
+    lib.ts_cwell_planes(n, _ptr(indptr, ctypes.c_int64),
+                        _ptr(indices, ctypes.c_int32),
+                        _ptr(S_b, ctypes.c_int32))
+    S = max(int(S_b.max()) if nb else 1, 1)
+    S = (S + plane_pad - 1) // plane_pad * plane_pad
+    vals = np.zeros((nb, S, LW), dtype=data.dtype)
+    idx2 = np.zeros((nb, S, LW), dtype=np.int32)
+    srow = np.zeros((nb, S), dtype=np.int32)
+    fill_fn(n, m, S, rmax, _ptr(indptr, ctypes.c_int64),
+            _ptr(indices, ctypes.c_int32), _ptr(data, ct),
+            _ptr(vals, ct), _ptr(idx2, ctypes.c_int32),
+            _ptr(srow, ctypes.c_int32))
+    return vals, idx2, srow, S

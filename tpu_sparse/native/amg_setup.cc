@@ -267,3 +267,149 @@ void ts_dia_to_csr_f32(int64_t n, int64_t m, int64_t ndiag,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CWELL packing (sparse/cwell.py csr_to_cwell, C++ fast path).
+//
+// The numpy pack is ~20 full passes over nnz-sized intermediates; on this
+// host fresh-page population costs ~6 s/GB, so a 110M-nnz pack took ~95 s.
+// Here: two streaming passes over the CSR arrays (plane counting, then
+// fill), threaded over row blocks, writing each output element exactly
+// once. Requires column-sorted CSR indices (scipy canonical form).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kLW = 128;   // lanes per row block
+constexpr int kWinShift = 8;  // window width 256 = 1 << 8
+
+struct WinInfo {
+  int32_t win;
+  int32_t planes;
+  int32_t base;
+};
+
+// Collect, per row block [r0, r1), each column window's plane need
+// (max per-row run length) in ascending window order.
+inline void scan_block(int64_t r0, int64_t r1, const int64_t* indptr,
+                       const int32_t* indices, std::vector<WinInfo>& wins) {
+  wins.clear();
+  for (int64_t r = r0; r < r1; ++r) {
+    int64_t p = indptr[r], e = indptr[r + 1];
+    while (p < e) {
+      int32_t w = indices[p] >> kWinShift;
+      int32_t c = 0;
+      while (p < e && (indices[p] >> kWinShift) == w) {
+        ++p;
+        ++c;
+      }
+      bool found = false;
+      for (auto& kv : wins) {
+        if (kv.win == w) {
+          if (c > kv.planes) kv.planes = c;
+          found = true;
+          break;
+        }
+      }
+      if (!found) wins.push_back({w, c, 0});
+    }
+  }
+  std::sort(wins.begin(), wins.end(),
+            [](const WinInfo& a, const WinInfo& b) { return a.win < b.win; });
+  int32_t base = 0;
+  for (auto& kv : wins) {
+    kv.base = base;
+    base += kv.planes;
+  }
+}
+
+template <typename T>
+void cwell_fill_impl(int64_t n, int64_t m, int64_t S, int64_t rmax,
+                     const int64_t* indptr, const int32_t* indices,
+                     const T* data, T* vals, int32_t* idx2, int32_t* srow) {
+  int64_t nb = (n + kLW - 1) / kLW;
+  int nt = (int)std::min<int64_t>(
+      nb, std::max(1u, std::thread::hardware_concurrency()));
+  auto work = [&](int t) {
+    std::vector<WinInfo> wins;
+    wins.reserve(64);
+    for (int64_t b = t; b < nb; b += nt) {
+      int64_t r0 = b * kLW, r1 = std::min(n, r0 + kLW);
+      scan_block(r0, r1, indptr, indices, wins);
+      // srow per plane of each window
+      for (const auto& kv : wins) {
+        int32_t sr = (int32_t)std::min<int64_t>((int64_t)kv.win * 2, rmax);
+        for (int32_t k = 0; k < kv.planes; ++k)
+          srow[b * S + kv.base + k] = sr;
+      }
+      for (int64_t r = r0; r < r1; ++r) {
+        int lane = (int)(r - r0);
+        int64_t p = indptr[r], e = indptr[r + 1];
+        size_t wi = 0;
+        while (p < e) {
+          int32_t w = indices[p] >> kWinShift;
+          while (wins[wi].win != w) ++wi;  // windows ascend within a row
+          int32_t base = wins[wi].base;
+          int32_t sr = (int32_t)std::min<int64_t>((int64_t)w * 2, rmax);
+          int32_t k = 0;
+          while (p < e && (indices[p] >> kWinShift) == w) {
+            int64_t slot = (b * S + base + k) * kLW + lane;
+            vals[slot] = data[p];
+            idx2[slot] = indices[p] - sr * kLW;
+            ++p;
+            ++k;
+          }
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(work, t);
+  work(0);
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass A: planes needed per row block (S_b). Returns nothing; S_b out.
+void ts_cwell_planes(int64_t n, const int64_t* indptr,
+                     const int32_t* indices, int32_t* S_b) {
+  int64_t nb = (n + kLW - 1) / kLW;
+  int nt = (int)std::min<int64_t>(
+      nb, std::max(1u, std::thread::hardware_concurrency()));
+  auto work = [&](int t) {
+    std::vector<WinInfo> wins;
+    wins.reserve(64);
+    for (int64_t b = t; b < nb; b += nt) {
+      int64_t r0 = b * kLW, r1 = std::min(n, r0 + kLW);
+      scan_block(r0, r1, indptr, indices, wins);
+      int32_t total = 0;
+      for (const auto& kv : wins) total += kv.planes;
+      S_b[b] = total;
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; ++t) threads.emplace_back(work, t);
+  work(0);
+  for (auto& th : threads) th.join();
+}
+
+void ts_cwell_fill_f32(int64_t n, int64_t m, int64_t S, int64_t rmax,
+                       const int64_t* indptr, const int32_t* indices,
+                       const float* data, float* vals, int32_t* idx2,
+                       int32_t* srow) {
+  cwell_fill_impl<float>(n, m, S, rmax, indptr, indices, data, vals, idx2,
+                         srow);
+}
+
+void ts_cwell_fill_f64(int64_t n, int64_t m, int64_t S, int64_t rmax,
+                       const int64_t* indptr, const int32_t* indices,
+                       const double* data, double* vals, int32_t* idx2,
+                       int32_t* srow) {
+  cwell_fill_impl<double>(n, m, S, rmax, indptr, indices, data, vals, idx2,
+                          srow);
+}
+
+}  // extern "C"

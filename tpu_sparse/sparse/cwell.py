@@ -141,6 +141,18 @@ class CWELL:
                 f"S={self.planes}, fill={self.fill})")
 
 
+def _cols_sorted(indptr: np.ndarray, cols: np.ndarray) -> bool:
+    """True when every row's column indices ascend (the C++ pack's
+    run-detection requires it; scipy canonical CSR guarantees it)."""
+    if cols.size < 2:
+        return True
+    bad = cols[1:] < cols[:-1]
+    row_starts = indptr[1:-1]
+    row_starts = row_starts[(row_starts > 0) & (row_starts < cols.size)]
+    bad[row_starts - 1] = False
+    return not bad.any()
+
+
 def csr_to_cwell(A: CSR, *, plane_pad: int = 8) -> CWELL:
     """Pack a CSR matrix into CWELL (host-side, vectorized numpy).
 
@@ -165,21 +177,40 @@ def csr_to_cwell(A: CSR, *, plane_pad: int = 8) -> CWELL:
         return CWELL(jnp.asarray(vals), jnp.asarray(idx2),
                      jnp.asarray(srow), (n, m), nnz=0, fill=0.0)
 
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    # C++ fast path for large packs: two streaming passes writing each
+    # output once vs the numpy pipeline's ~20 nnz-sized intermediates
+    # (fresh-page population costs ~6 s/GB on this host).
+    if nnz >= (1 << 20) and data.dtype in (np.float32, np.float64) \
+            and _cols_sorted(indptr, cols):
+        from tpu_sparse import native
+
+        packed = native.cwell_pack(indptr, cols, data, (n, m),
+                                   plane_pad=plane_pad)
+        if packed is not None:
+            vals, idx2, srow, S = packed
+            fill = nnz / float(nb * S * LW)
+            return CWELL(jnp.asarray(vals), jnp.asarray(idx2),
+                         jnp.asarray(srow), (n, m), nnz=nnz, fill=fill)
+
+    rows = np.repeat(np.arange(n, dtype=np.int32),
+                     np.diff(indptr).astype(np.int32))
     block = rows // LW
-    lrow = rows % LW
-    win = cols // WIN
+    lrow = (rows % LW).astype(np.int32)
+    win = (cols // WIN).astype(np.int32)
     nwin = m // WIN + 2
 
-    # sort by (block, window, row, col): ranks within (block, window, row)
-    # are then positions within contiguous runs
-    key_bw = block * nwin + win
-    order = np.lexsort((cols, lrow, key_bw))
+    # sort by the composite (block, window, row) key — ONE stable sort
+    # (CSR indices are column-sorted within each row, and stability
+    # preserves that order inside each group, so ranks stay col-ordered;
+    # the former 3-key lexsort cost 3 merge passes over 100M+ elements)
+    key_bw = block.astype(np.int64) * nwin + win
+    key_bwr_all = key_bw * LW + lrow
+    order = np.argsort(key_bwr_all, kind="stable")
     b_s, w_s, r_s = block[order], win[order], lrow[order]
     c_s, v_s = cols[order], data[order]
 
     # rank of each nnz within its (block, window, row) group
-    key_bwr = (key_bw[order]) * LW + r_s
+    key_bwr = key_bwr_all[order]
     grp_start = np.r_[True, key_bwr[1:] != key_bwr[:-1]]
     idx_all = np.arange(nnz, dtype=np.int64)
     first_of_grp = np.maximum.accumulate(np.where(grp_start, idx_all, 0))
@@ -234,20 +265,28 @@ class CWELLSeg:
     segments with no nonzeros are dropped.
     """
 
-    def __init__(self, segments, starts, widths, shape, nnz=None):
+    def __init__(self, segments, starts, widths, shape, nnz=None,
+                 rstarts=None):
         self.segments = tuple(segments)
         self.starts = tuple(int(s) for s in starts)
         self.widths = tuple(int(w) for w in widths)
         self.shape = tuple(int(s) for s in shape)
         self._nnz = None if nnz is None else int(nnz)
+        # first row (128-aligned) each segment's CWELL covers: segments
+        # only pack the row-block range that actually touches their
+        # columns (for banded-ish structure that's ~1/n_seg of the rows)
+        self.rstarts = (tuple(int(r) for r in rstarts)
+                        if rstarts is not None
+                        else (0,) * len(self.segments))
 
     def tree_flatten(self):
         return (self.segments,), (self.starts, self.widths, self.shape,
-                                  self._nnz)
+                                  self._nnz, self.rstarts)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0], aux[1], aux[2], nnz=aux[3])
+        return cls(children[0], aux[0], aux[1], aux[2], nnz=aux[3],
+                   rstarts=aux[4])
 
     @property
     def dtype(self):
@@ -269,12 +308,12 @@ class CWELLSeg:
 
         n, m = self.shape
         parts = []
-        for W, j0 in zip(self.segments, self.starts):
+        for W, j0, r0 in zip(self.segments, self.starts, self.rstarts):
             C = W.tocsr()
             S = sp.csr_matrix((np.asarray(C.data), np.asarray(C.indices),
                                np.asarray(C.indptr)), shape=C.shape).tocoo()
             parts.append(sp.coo_matrix(
-                (S.data, (S.row, S.col + j0)), shape=(n, m)))
+                (S.data, (S.row + r0, S.col + j0)), shape=(n, m)))
         total = parts[0] if parts else sp.coo_matrix((n, m))
         for p in parts[1:]:
             total = total + p
@@ -317,23 +356,40 @@ def csr_to_cwell_segments(A: CSR, *, seg_cols: int = 1 << 20,
         shape=(n, m)).tocsc()
     from tpu_sparse.sparse.convert import csr_from_arrays
 
-    segments, starts, widths = [], [], []
-    for j0 in range(0, m, seg_cols):
+    def pack_one(j0: int):
         j1 = min(j0 + seg_cols, m)
         sub = S[:, j0:j1].tocsr()
         if sub.nnz == 0:
-            continue
+            return None
+        # pack only the 128-aligned row-block range with nonzeros in this
+        # column segment — otherwise every segment pads ALL row blocks to
+        # its plane count and fill collapses by ~n_segments
+        rnz = np.flatnonzero(np.diff(sub.indptr))
+        r0 = int(rnz[0]) // LW * LW
+        r1 = min(_round_up(int(rnz[-1]) + 1, LW), n)
+        sub = sub[r0:r1]
         Wc = csr_to_cwell(csr_from_arrays(sub.data, sub.indices,
-                                          sub.indptr, (n, j1 - j0)),
+                                          sub.indptr, (r1 - r0, j1 - j0)),
                           plane_pad=plane_pad)
+        return Wc, j0, j1 - j0, r0
+
+    # sequential: packing is memory-bandwidth bound on fresh allocations
+    # (threaded packing measured 20% SLOWER from page-fault contention)
+    packed = [pack_one(j) for j in range(0, m, seg_cols)]
+    segments, starts, widths, rstarts = [], [], [], []
+    for entry in packed:
+        if entry is None:
+            continue
+        Wc, j0, w, r0 = entry
         segments.append(Wc)
         starts.append(j0)
-        widths.append(j1 - j0)
+        widths.append(w)
+        rstarts.append(r0)
     if not segments:  # all-zero matrix: keep one empty segment
         segments = [csr_to_cwell(A, plane_pad=plane_pad)]
-        starts, widths = [0], [m]
+        starts, widths, rstarts = [0], [m], [0]
     return CWELLSeg(segments, starts, widths, (n, m),
-                    nnz=int(np.asarray(A.indptr)[-1]))
+                    nnz=int(np.asarray(A.indptr)[-1]), rstarts=rstarts)
 
 
 def rcm_permutation(A: CSR) -> np.ndarray:
