@@ -296,3 +296,22 @@ def test_distributed_block_cg_halo(mesh):
                                           tol=1e-9)
     assert np.all(np.asarray(infos) == 0)
     np.testing.assert_allclose(np.asarray(X), Xt, rtol=1e-5, atol=1e-7)
+
+
+def test_distributed_minres(mesh):
+    """Row-sharded MINRES on an indefinite system matches serial."""
+    from tpu_sparse.dist.solvers import distributed_minres
+    from tpu_sparse.solvers import minres_full
+    from tpu_sparse.sparse.containers import DIA
+
+    A0 = generators.poisson2d(16)
+    d0 = A0.offsets.index(0)
+    A = DIA(A0.data.at[d0].add(-1.1), A0.offsets, A0.shape)  # indefinite
+    rng = np.random.default_rng(42)
+    b = jnp.asarray(rng.standard_normal(256))
+    x_d, info_d, it_d, _ = distributed_minres(A, b, mesh=mesh, tol=1e-9)
+    assert int(info_d) == 0
+    x_s, info_s, it_s, _ = minres_full(A, b, tol=1e-9)
+    assert int(it_d) == int(it_s)
+    np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_s),
+                               rtol=1e-7, atol=1e-9)

@@ -203,3 +203,31 @@ def distributed_block_cg(A, B: jax.Array, X0: Optional[jax.Array] = None,
 
     X, infos, iters, res = _run(B_sh, X0_sh)
     return X[:n_orig], infos, iters, res
+
+
+def distributed_minres(A, b: jax.Array, x0: Optional[jax.Array] = None,
+                       *, mesh: Optional[Mesh] = None, mode: str = "gspmd",
+                       tol: float = 1e-6, atol: float = 0.0,
+                       maxiter: Optional[int] = None,
+                       M: Optional[Callable] = None):
+    """MINRES on a row-partitioned symmetric (possibly indefinite)
+    system; Lanczos vectors row-shard like x, dots all-reduce at the jit
+    level."""
+    from tpu_sparse.solvers.minres import minres_full
+
+    if mesh is None:
+        mesh = make_row_mesh()
+    n_orig = b.shape[0]
+    unit = _vector_unit(A)
+    _check_precond_divisible(n_orig, mesh, M, unit)
+    A_sh, matvec = distributed_matvec_op(A, mesh, mode)
+    b_sh = shard_vector(b, mesh, unit)
+    x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
+
+    @jax.jit
+    def _run(bb, xx0):
+        return minres_full(matvec, bb, xx0, tol=tol, atol=atol,
+                           maxiter=maxiter, M=M)
+
+    x, info, iters, res = _run(b_sh, x0_sh)
+    return x[:n_orig], info, iters, res
