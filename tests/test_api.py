@@ -188,3 +188,56 @@ def test_solve_multi_rhs_block_and_batched():
                                    atol=1e-6, err_msg=method)
     with pytest.raises(NotImplementedError):
         s.solve(A, B, method="cg", precision="mixed")
+
+
+def test_solve_multi_rhs_warm_start_and_reporting():
+    """X0 must reach the batched solvers; AMG must report as amg; fcg
+    routes multi-RHS (code-review round-2 findings)."""
+    from tpu_sparse.api.solver import SparseSolver
+    from tpu_sparse.sparse import generators
+
+    s = SparseSolver()
+    A = generators.poisson2d(10)
+    n = A.shape[0]
+    rng = np.random.default_rng(33)
+    Xt = np.asarray(rng.standard_normal((n, 2)))
+    B = jnp.asarray(np.asarray(A.todense()) @ Xt)
+    # warm start at the exact solution: gmres must converge in ~0 iters
+    X, r = s.solve(A, B, jnp.asarray(Xt), method="gmres", tol=1e-8)
+    assert r.converged and (r.iterations or 0) <= 1, r
+    # AMG reporting
+    X2, r2 = s.solve(A, B, method="amg", tol=1e-8)
+    assert r2.converged and r2.backend == "amg" and r2.method == "amg"
+    # fcg/fgmres multi-RHS routes to the batched solvers
+    for meth in ("fcg", "fgmres"):
+        X3, r3 = s.solve(A, B, method=meth, tol=1e-8)
+        assert r3.converged, meth
+        np.testing.assert_allclose(np.asarray(X3), Xt, rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_to_tpu_operator_f64_wide_uses_df_compatible_segments():
+    """f64 wide matrices must segment at <=512K columns so the double-f32
+    kernel's hi+lo VMEM budget holds per segment."""
+    import scipy.sparse as sp
+
+    from tpu_sparse.sparse.convert import csr_from_arrays
+    from tpu_sparse.sparse.cwell import CWELLSeg
+    from tpu_sparse.sparse.optimize import to_tpu_operator
+
+    n, m = 256, 900_000  # above the f64 cap (768K), below the f32 cap
+    rng = np.random.default_rng(34)
+    rows = np.repeat(np.arange(n), 16)
+    cols = ((rows // 128) * 450_000 + rng.integers(0, 1024,
+                                                   rows.size)) % m
+    S = sp.coo_matrix((rng.standard_normal(rows.size), (rows, cols)),
+                      shape=(n, m)).tocsr()
+    A = csr_from_arrays(S.data, S.indices, S.indptr, (n, m))
+    W = to_tpu_operator(A)
+    assert isinstance(W, CWELLSeg)
+    assert all(w <= (1 << 19) for w in W.widths)
+    from tpu_sparse.kernels import spmv
+
+    x = jnp.asarray(rng.standard_normal(m))
+    np.testing.assert_allclose(np.asarray(spmv(W, x)), S @ np.asarray(x),
+                               rtol=1e-10, atol=1e-10)

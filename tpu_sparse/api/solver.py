@@ -229,20 +229,22 @@ class SparseSolver:
                               solve_method, True)(_wrap_m(A), b, x0,
                                                   _wrap_m(M))
 
-    def _solve_amg(self, A, b, x0, method, tol, atol, maxiter, **kwargs):
+    def _amg_M(self, A, **kwargs):
+        """AMG preconditioner for A, cached per matrix content (hierarchy
+        setup is a host-side graph phase that cannot be jitted)."""
         from tpu_sparse.precond.amg import amg_preconditioner
 
         from tpu_sparse.utils.opcache import OperandCache
 
-        # Hierarchy setup is a host-side graph phase (cannot be jitted);
-        # cache it per matrix content so repeat solves skip the setup, and
-        # run the AMG-preconditioned CG itself as one jitted program.
         cached = getattr(self, "_amg_cache", None)
         if cached is None:
             cached = self._amg_cache = OperandCache(max_entries=8)
-        M = cached.get_or_build(
+        return cached.get_or_build(
             A, lambda: amg_preconditioner(A, **kwargs),
             extra=tuple(sorted(kwargs.items())))
+
+    def _solve_amg(self, A, b, x0, method, tol, atol, maxiter, **kwargs):
+        M = self._amg_M(A, **kwargs)
         maxiter = maxiter if maxiter is not None else 100
         return _jitted_krylov("cg", tol, atol, maxiter, 20, "batched",
                               False)(A, b, x0, M)
@@ -268,17 +270,9 @@ class SparseSolver:
                                         block_cg)
 
         nrhs = B.shape[1]
+        report_backend, report_method = sel_backend, method
         if sel_backend == "amg":
-            from tpu_sparse.precond.amg import amg_preconditioner
-
-            cached = getattr(self, "_amg_cache", None)
-            if cached is None:
-                from tpu_sparse.utils.opcache import OperandCache
-
-                cached = self._amg_cache = OperandCache(max_entries=8)
-            M = cached.get_or_build(
-                A, lambda: amg_preconditioner(A, **kwargs),
-                extra=tuple(sorted(kwargs.items())))
+            M = self._amg_M(A, **kwargs)
             maxiter = maxiter if maxiter is not None else 100
             method = "cg"
             sel_backend = "krylov"
@@ -303,15 +297,19 @@ class SparseSolver:
             info = jnp.where(jnp.all(infos == 0), 0, -1).astype(jnp.int32)
             bn = jnp.linalg.norm(B, axis=0)
             rel = jnp.max(res / jnp.where(bn > 0, bn, 1.0))
-        elif method in ("bicgstab", "gmres", "minres"):
-            from tpu_sparse.solvers import batch_minres
+        elif method in ("bicgstab", "gmres", "minres", "fcg", "fgmres"):
+            from tpu_sparse.solvers import (batch_fcg, batch_fgmres,
+                                            batch_minres)
 
             fn = {"bicgstab": batch_bicgstab, "gmres": batch_gmres,
-                  "minres": batch_minres}[method]
+                  "minres": batch_minres, "fcg": batch_fcg,
+                  "fgmres": batch_fgmres}[method]
             kw = dict(tol=tol, atol=atol, maxiter=maxiter, M=M)
             if method == "gmres":
                 kw.update(restart=restart, solve_method=solve_method)
-            X, infos, iters_v, res = fn(A, B, **kw)
+            elif method == "fgmres":
+                kw.update(restart=restart)
+            X, infos, iters_v, res = fn(A, B, X0, **kw)
             info = jnp.where(jnp.all(infos == 0), 0, -1).astype(jnp.int32)
             iters = jnp.max(iters_v)
             bn = jnp.linalg.norm(B, axis=0)
@@ -324,7 +322,8 @@ class SparseSolver:
         result = SolverResult(
             x=X, converged=bool(info_v == 0),
             iterations=None if iters is None else int(iters_v),
-            residual=float(rel_v), backend=sel_backend, method=method,
+            residual=float(rel_v), backend=report_backend,
+            method=report_method,
         )
         return X, result
 

@@ -31,6 +31,24 @@ def set_pallas_enabled(enabled: bool) -> None:
     _PALLAS_ENABLED = enabled
 
 
+
+def _cwellseg_apply(A, operand, seg_fn, out_cols=None):
+    """Sum per-segment applications into (n,) or (n, k) output, writing
+    each segment's contribution into its touched row range."""
+    n = A.shape[0]
+    out = None
+    for W, j0, w, r0 in zip(A.segments, A.starts, A.widths, A.rstarts):
+        t = seg_fn(W, jax.lax.slice_in_dim(operand, j0, j0 + w, axis=0))
+        if W.shape[0] == n and r0 == 0:
+            out = t if out is None else out + t
+        else:
+            if out is None:
+                shape = (n,) if out_cols is None else (n, t.shape[1])
+                out = jnp.zeros(shape, t.dtype)
+            out = out.at[r0:r0 + W.shape[0]].add(t)
+    return out
+
+
 def spmv(A, x: jax.Array) -> jax.Array:
     """y = A @ x for any container / dense matrix."""
     from tpu_sparse.sparse.bell import BELL
@@ -40,18 +58,7 @@ def spmv(A, x: jax.Array) -> jax.Array:
         # column segments: each reuses the full CWELL dispatch (Pallas
         # f32/bf16/f64-DF on TPU, XLA elsewhere) on its own x slice, and
         # covers only its touched row-block range
-        n = A.shape[0]
-        y = None
-        for W, j0, w, r0 in zip(A.segments, A.starts, A.widths,
-                                A.rstarts):
-            t = spmv(W, jax.lax.slice_in_dim(x, j0, j0 + w))
-            if W.shape[0] == n and r0 == 0:
-                y = t if y is None else y + t
-            else:
-                if y is None:
-                    y = jnp.zeros((n,), t.dtype)
-                y = y.at[r0:r0 + W.shape[0]].add(t)
-        return y
+        return _cwellseg_apply(A, x, spmv)
     if isinstance(A, CWELL):
         if _PALLAS_ENABLED and _on_tpu():
             from tpu_sparse.kernels import pallas_cwell
@@ -118,18 +125,7 @@ def spmv_reference(A, x: jax.Array) -> jax.Array:
     from tpu_sparse.sparse.cwell import CWELL, CWELLSeg
 
     if isinstance(A, CWELLSeg):
-        n = A.shape[0]
-        y = None
-        for W, j0, w, r0 in zip(A.segments, A.starts, A.widths,
-                                A.rstarts):
-            t = ref.cwell_spmv(W, jax.lax.slice_in_dim(x, j0, j0 + w))
-            if W.shape[0] == n and r0 == 0:
-                y = t if y is None else y + t
-            else:
-                if y is None:
-                    y = jnp.zeros((n,), t.dtype)
-                y = y.at[r0:r0 + W.shape[0]].add(t)
-        return y
+        return _cwellseg_apply(A, x, ref.cwell_spmv)
     if isinstance(A, CWELL):
         return ref.cwell_spmv(A, x)
     if isinstance(A, BELL):
@@ -151,18 +147,7 @@ def spmm(A, B: jax.Array) -> jax.Array:
     from tpu_sparse.sparse.cwell import CWELL, CWELLSeg
 
     if isinstance(A, CWELLSeg):
-        n = A.shape[0]
-        Y = None
-        for W, j0, w, r0 in zip(A.segments, A.starts, A.widths,
-                                A.rstarts):
-            T = spmm(W, jax.lax.slice_in_dim(B, j0, j0 + w, axis=0))
-            if W.shape[0] == n and r0 == 0:
-                Y = T if Y is None else Y + T
-            else:
-                if Y is None:
-                    Y = jnp.zeros((n, T.shape[1]), T.dtype)
-                Y = Y.at[r0:r0 + W.shape[0], :].add(T)
-        return Y
+        return _cwellseg_apply(A, B, spmm, out_cols=True)
     if isinstance(A, CWELL):
         if _PALLAS_ENABLED and _on_tpu():
             from tpu_sparse.kernels import pallas_cwell

@@ -419,6 +419,9 @@ def cwell_spmm_pallas(A: CWELL, B: jax.Array, rb: int | None = None):
     k = B.shape[1]
     if A.vals.dtype != jnp.float32:
         return None
+    if jnp.result_type(A.vals.dtype, B.dtype) not in (jnp.float32,
+                                                      jnp.bfloat16):
+        return None  # f64/complex B keeps the full-precision XLA path
     if B.dtype != jnp.float32:
         B = B.astype(jnp.float32)
     m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)

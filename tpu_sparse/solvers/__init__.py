@@ -18,6 +18,8 @@ from tpu_sparse.solvers.batched import (
     batch_bicgstab,
     batch_cg,
     batch_direct,
+    batch_fcg,
+    batch_fgmres,
     batch_gmres,
     batch_minres,
 )
@@ -55,6 +57,7 @@ __all__ = [
     "minres", "minres_full",
     "cg_refined", "bicgstab_refined", "gmres_refined", "refined_solve",
     "batch_cg", "batch_bicgstab", "batch_gmres", "batch_minres",
+    "batch_fcg", "batch_fgmres",
     "batch_direct",
     "block_cg",
     "cg_differentiable", "bicgstab_differentiable", "gmres_differentiable",

@@ -17,38 +17,62 @@ from tpu_sparse.solvers.krylov import bicgstab_full, cg_full, gmres_full
 from tpu_sparse.solvers.minres import minres_full
 
 
-def _batch(solver_full, A, B, **kw):
+def _batch(solver_full, A, B, X0=None, **kw):
     """Solve A X = B column-wise; B is (n, k) or a batch of pytrees."""
+    if X0 is None:
+        def one(b):
+            return solver_full(A, b, None, **kw)
 
-    def one(b):
-        return solver_full(A, b, None, **kw)
+        return jax.vmap(one, in_axes=-1, out_axes=(-1, 0, 0, 0))(B)
 
-    return jax.vmap(one, in_axes=-1, out_axes=(-1, 0, 0, 0))(B)
+    def one_w(b, x0):
+        return solver_full(A, b, x0, **kw)
+
+    return jax.vmap(one_w, in_axes=(-1, -1), out_axes=(-1, 0, 0, 0))(B, X0)
 
 
-def batch_cg(A, B: jax.Array, *, tol: float = 1e-5, atol: float = 0.0,
-             maxiter: Optional[int] = None, M=None):
+def batch_cg(A, B: jax.Array, X0=None, *, tol: float = 1e-5,
+             atol: float = 0.0, maxiter: Optional[int] = None, M=None):
     """CG over each column of B. Returns (X, infos, iters, res_norms)."""
-    return _batch(cg_full, A, B, tol=tol, atol=atol, maxiter=maxiter, M=M)
-
-
-def batch_bicgstab(A, B: jax.Array, *, tol: float = 1e-5, atol: float = 0.0,
-                   maxiter: Optional[int] = None, M=None):
-    return _batch(bicgstab_full, A, B, tol=tol, atol=atol, maxiter=maxiter,
+    return _batch(cg_full, A, B, X0, tol=tol, atol=atol, maxiter=maxiter,
                   M=M)
 
 
-def batch_gmres(A, B: jax.Array, *, tol: float = 1e-5, atol: float = 0.0,
-                restart: int = 20, maxiter: Optional[int] = None, M=None,
+def batch_bicgstab(A, B: jax.Array, X0=None, *, tol: float = 1e-5,
+                   atol: float = 0.0, maxiter: Optional[int] = None, M=None):
+    return _batch(bicgstab_full, A, B, X0, tol=tol, atol=atol,
+                  maxiter=maxiter, M=M)
+
+
+def batch_gmres(A, B: jax.Array, X0=None, *, tol: float = 1e-5,
+                atol: float = 0.0, restart: int = 20,
+                maxiter: Optional[int] = None, M=None,
                 solve_method: str = "batched"):
-    return _batch(gmres_full, A, B, tol=tol, atol=atol, restart=restart,
+    return _batch(gmres_full, A, B, X0, tol=tol, atol=atol, restart=restart,
                   maxiter=maxiter, M=M, solve_method=solve_method)
 
 
-def batch_minres(A, B: jax.Array, *, tol: float = 1e-5, atol: float = 0.0,
-                 maxiter: Optional[int] = None, M=None):
-    return _batch(minres_full, A, B, tol=tol, atol=atol, maxiter=maxiter,
+def batch_fcg(A, B: jax.Array, X0=None, *, tol: float = 1e-5,
+              atol: float = 0.0, maxiter: Optional[int] = None, M=None):
+    from tpu_sparse.solvers.fcg import fcg_full
+
+    return _batch(fcg_full, A, B, X0, tol=tol, atol=atol, maxiter=maxiter,
                   M=M)
+
+
+def batch_fgmres(A, B: jax.Array, X0=None, *, tol: float = 1e-5,
+                 atol: float = 0.0, restart: int = 20,
+                 maxiter: Optional[int] = None, M=None):
+    from tpu_sparse.solvers.fgmres import fgmres_full
+
+    return _batch(fgmres_full, A, B, X0, tol=tol, atol=atol,
+                  restart=restart, maxiter=maxiter, M=M)
+
+
+def batch_minres(A, B: jax.Array, X0=None, *, tol: float = 1e-5,
+                 atol: float = 0.0, maxiter: Optional[int] = None, M=None):
+    return _batch(minres_full, A, B, X0, tol=tol, atol=atol,
+                  maxiter=maxiter, M=M)
 
 
 def batch_direct(A, B: jax.Array):

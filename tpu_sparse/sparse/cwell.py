@@ -330,7 +330,7 @@ class CWELLSeg:
         """Transpose (host-side repack; not jit-safe)."""
         At = self.tocsr().T
         return csr_to_cwell_segments(
-            At, seg_cols=max(w for w in self.widths))
+            At, seg_cols=_round_up(max(self.widths), WIN))
 
     def __matmul__(self, x):
         from tpu_sparse.kernels import spmm, spmv

@@ -64,9 +64,17 @@ def to_tpu_operator(A, *, max_diags: int = 64, block_size: int = 8,
     # fallback by orders of magnitude, so the bar is half the usual one.
     from tpu_sparse.sparse.cwell import csr_to_cwell_segments
 
-    _X_CAP = 1536 * 1024  # mirrors kernels.pallas_cwell._X_VMEM_LIMIT
+    # Caps mirror kernels.pallas_cwell._X_VMEM_LIMIT; the f64 double-f32
+    # kernel keeps BOTH hi and lo x slices VMEM-resident, so its cap (and
+    # the segment width that satisfies it) is half the f32 one.
+    _X_CAP = 1536 * 1024
+    if np.asarray(Ac.data).dtype == np.float64:
+        _X_CAP //= 2
+        _SEG_COLS = 1 << 19
+    else:
+        _SEG_COLS = 1 << 20
     if m > _X_CAP:
-        seg = csr_to_cwell_segments(Ac, seg_cols=1 << 20)
+        seg = csr_to_cwell_segments(Ac, seg_cols=_SEG_COLS)
         if seg.fill >= min_cwell_fill * 0.5:
             if verbose:
                 print(f"[to_tpu_operator] CWELLSeg fill={seg.fill:.2f} "
