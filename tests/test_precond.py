@@ -215,3 +215,75 @@ def test_smoothed_aggregation_pcg():
     assert int(it_s) <= int(it_p)
     res = float(jnp.linalg.norm(b - A @ x_s) / jnp.linalg.norm(b))
     assert res < 1e-6
+
+
+def test_fsai_exact_on_dense_pattern():
+    """On a fully dense SPD pattern the FSAI factor IS inv(chol(A))."""
+    from tpu_sparse.precond import fsai_setup
+    from tpu_sparse.sparse.convert import dense_to_csr
+
+    rng = np.random.default_rng(0)
+    n = 6
+    Q = rng.standard_normal((n, n))
+    Ad = Q @ Q.T + n * np.eye(n)
+    G, Gt = fsai_setup(dense_to_csr(jnp.asarray(Ad)))
+    Ginv = np.linalg.inv(np.linalg.cholesky(Ad))
+    np.testing.assert_allclose(np.asarray(G.todense()), Ginv, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Gt.todense()), Ginv.T, atol=1e-6)
+
+
+def test_fsai_accelerates_cg_and_is_symmetric():
+    from tpu_sparse.precond import fsai_preconditioner
+
+    A = generators.poisson2d(48)
+    n = A.shape[0]
+    rng = np.random.default_rng(1)
+    xt = rng.standard_normal(n).astype(np.float32)
+    b = A @ jnp.asarray(xt)
+    _, _, it_plain, _ = cg_full(A, b, tol=1e-6, maxiter=1000)
+    Mf = fsai_preconditioner(A)
+    x, info, it_fsai, _ = cg_full(A, b, tol=1e-6, maxiter=1000, M=Mf)
+    assert int(info) == 0
+    assert int(it_fsai) < 0.7 * int(it_plain), (int(it_fsai),
+                                                int(it_plain))
+    np.testing.assert_allclose(np.asarray(x), xt, rtol=1e-3, atol=1e-3)
+    # FSAI(2): denser pattern must be at least as strong
+    M2 = fsai_preconditioner(A, pattern_power=2)
+    _, info2, it2, _ = cg_full(A, b, tol=1e-6, maxiter=1000, M=M2)
+    assert int(info2) == 0 and int(it2) <= int(it_fsai)
+    # M = GᵀG is symmetric (required for plain CG)
+    u = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    s1 = float(jnp.vdot(u, Mf(v)))
+    s2 = float(jnp.vdot(Mf(u), v))
+    assert abs(s1 - s2) < 1e-3 * max(abs(s1), 1e-30)
+
+
+def test_string_preconditioner_names_in_router():
+    from tpu_sparse.api.solver import SparseSolver
+
+    A = generators.poisson2d(24)
+    n = A.shape[0]
+    rng = np.random.default_rng(2)
+    xt = rng.standard_normal(n).astype(np.float32)
+    b = A @ jnp.asarray(xt)
+    s = SparseSolver()
+    iters = {}
+    for name in ("jacobi", "fsai", "fsai2", "chebyshev", "neumann",
+                 "ilu0", "amg"):
+        x, r = s.solve(A, b, method="cg", tol=1e-6, M=name)
+        assert r.converged, name
+        np.testing.assert_allclose(np.asarray(x), xt, rtol=1e-3,
+                                   atol=1e-3, err_msg=name)
+        iters[name] = r.iterations
+    assert iters["fsai"] < iters["jacobi"]
+    # string M reaches the batched multi-RHS path too
+    B = jnp.stack([b, 0.5 * b], axis=1)
+    X, rB = s.solve(A, B, method="cg", tol=1e-6, M="fsai")
+    assert rB.converged
+    np.testing.assert_allclose(np.asarray(X[:, 0]), xt, rtol=1e-3,
+                               atol=1e-3)
+    with pytest.raises(ValueError, match="unknown preconditioner"):
+        s.solve(A, b, method="cg", M="nope")
+    with pytest.raises(ValueError, match="matrix-free"):
+        s.solve(lambda v: v, b, method="cg", M="fsai")

@@ -140,7 +140,13 @@ class SparseSolver:
         precision: 'full' solves in b's dtype; 'mixed' runs f32 inner Krylov
         sweeps with defect-correction refinement to the requested tolerance
         (the TPU-native path to f64-level accuracy at f32 speed).
+
+        M: a preconditioner callable, or one of the built-in names
+        'jacobi' | 'fsai' | 'fsai2' | 'chebyshev' | 'neumann' | 'ilu0' |
+        'amg' — built once per matrix content and cached.
         """
+        if isinstance(M, str):
+            M = self._precond_M(A, M)
         if precision not in ("full", "mixed"):
             raise ValueError(
                 f"unknown precision '{precision}'; use 'full' or 'mixed'")
@@ -228,6 +234,46 @@ class SparseSolver:
         return _jitted_krylov(method, tol, atol, maxiter, restart,
                               solve_method, True)(_wrap_m(A), b, x0,
                                                   _wrap_m(M))
+
+    _PRECOND_NAMES = ("jacobi", "fsai", "fsai2", "chebyshev", "neumann",
+                      "ilu0", "amg")
+
+    def _precond_M(self, A, spec: str):
+        """Resolve a string preconditioner name to a cached callable."""
+        name = spec.lower()
+        if name not in self._PRECOND_NAMES:
+            raise ValueError(
+                f"unknown preconditioner '{spec}'; available: "
+                f"{', '.join(self._PRECOND_NAMES)}")
+        if callable(A) and not is_sparse(A) and not hasattr(A, "ndim"):
+            raise ValueError(
+                f"M='{spec}' needs a matrix operand to build from; "
+                "matrix-free callables must pass M as a callable")
+        if name == "amg":
+            return self._amg_M(A)
+
+        from tpu_sparse.utils.opcache import OperandCache
+
+        cached = getattr(self, "_m_cache", None)
+        if cached is None:
+            cached = self._m_cache = OperandCache(max_entries=16)
+
+        def build():
+            import tpu_sparse.precond as _p
+
+            if name == "jacobi":
+                return _p.jacobi_preconditioner(A)
+            if name == "fsai":
+                return _p.fsai_preconditioner(A)
+            if name == "fsai2":
+                return _p.fsai_preconditioner(A, pattern_power=2)
+            if name == "chebyshev":
+                return _p.chebyshev_preconditioner(A)
+            if name == "neumann":
+                return _p.neumann_preconditioner(A)
+            return _p.ilu0_preconditioner(A)  # DIA only; raises otherwise
+
+        return cached.get_or_build(A, build, extra=(name,))
 
     def _amg_M(self, A, **kwargs):
         """AMG preconditioner for A, cached per matrix content (hierarchy

@@ -17,6 +17,10 @@ from tpu_sparse.precond.poly import (
     ilu0_preconditioner,
     neumann_preconditioner,
 )
+from tpu_sparse.precond.fsai import (
+    fsai_preconditioner,
+    fsai_setup,
+)
 
 __all__ = [
     "diagonal", "jacobi_preconditioner", "l1_jacobi_diag",
@@ -24,4 +28,5 @@ __all__ = [
     "amg_solve", "v_cycle",
     "chebyshev_preconditioner", "ilu0_factor", "ilu0_preconditioner",
     "neumann_preconditioner",
+    "fsai_preconditioner", "fsai_setup",
 ]

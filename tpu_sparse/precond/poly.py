@@ -187,5 +187,9 @@ def _ilu0_apply(L_, U_, v):
 
 def ilu0_preconditioner(A: DIA) -> Partial:
     """M ≈ A⁻¹ from ILU(0) factors (stencil matrices)."""
+    if not isinstance(A, DIA):
+        raise ValueError(
+            "ilu0 preconditioner requires a DIA (stencil) matrix; for "
+            "general SPD patterns use 'fsai' (parallel apply) instead")
     L, U = ilu0_factor(A)
     return Partial(_ilu0_apply, L, U)
