@@ -81,3 +81,42 @@ def test_df_kernel_interpreted_illconditioned_values():
     rel = np.max(np.abs(np.asarray(op.matvec64(v)) - y64)) \
         / np.max(np.abs(y64))
     assert rel < 5e-7, rel
+
+
+@pytest.mark.parametrize("gen,n", [
+    (lambda: generators.poisson2d(40, dtype=np.float32), 1600),
+    (lambda: generators.tridiagonal(5000, dtype=np.float32), 5000),
+    (lambda: generators.poisson3d_27pt(12, dtype=np.float32), 1728),
+])
+def test_extended_kernel_resident_interpreted(gen, n):
+    """x-resident variant (no window DMAs) must match the windowed one
+    and the XLA oracle, including margin zeroing."""
+    A = gen()
+    op = ps.ExtendedStencilOperator(A, resident=True)
+    assert op.resident
+    v = jnp.asarray(np.random.default_rng(2)
+                    .standard_normal(n).astype(np.float32))
+    y_ext = op(op.extend(v))
+    assert float(jnp.max(jnp.abs(y_ext[:op.Wl]))) == 0.0
+    assert float(jnp.max(jnp.abs(y_ext[op.Wl + n:]))) == 0.0
+    np.testing.assert_allclose(np.asarray(op.extract(y_ext)),
+                               np.asarray(kref.dia_spmv(A, v)),
+                               rtol=1e-5, atol=1e-5)
+    # windowed-DMA variant agrees
+    op_w = ps.ExtendedStencilOperator(A, resident=False)
+    assert not op_w.resident
+    y_w = op_w.extract(op_w(op_w.extend(v)))
+    np.testing.assert_allclose(np.asarray(op.extract(y_ext)),
+                               np.asarray(y_w), rtol=1e-6, atol=1e-6)
+
+
+def test_extended_resident_cap_falls_back():
+    """Above the resident cap the operator must build windowed."""
+    A = generators.tridiagonal(1024, dtype=np.float32)
+    orig = ps._RESIDENT_E_CAP
+    try:
+        ps._RESIDENT_E_CAP = 512  # force over-cap
+        op = ps.ExtendedStencilOperator(A)
+        assert not op.resident
+    finally:
+        ps._RESIDENT_E_CAP = orig

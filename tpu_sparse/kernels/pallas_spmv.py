@@ -334,6 +334,46 @@ def _dia_ext_kernel(x_hbm, data_ref, y_ref, xa, xb, sems, *, offsets, H, C,
         compute(xb)
 
 
+# x-resident variant: when the whole extended vector fits in VMEM, keep
+# it resident and stream ONLY the diagonal data — no per-chunk x-window
+# DMAs at all. Measured motivation (docs/performance.md): raw data
+# streaming reaches ~1029 GB/s at C=32K while the full DMA-windowed
+# kernel tops out at ~723 GB/s at C=128K — the x-window DMAs are what
+# drags it off the roofline. Caps: x + y resident = 2·E·4 B.
+_RESIDENT_E_CAP = 6 * 1024 * 1024   # elements (24 MB x + 24 MB y)
+_RESIDENT_CHUNK = 32 * 1024         # data-streaming sweet spot
+_RESIDENT_ENABLED = True            # kill switch (perf A/B, debugging)
+
+
+def _dia_ext_kernel_res(x_ref, data_ref, y_ref, *, offsets, H, C,
+                        lo_chunks, hi_chunk):
+    """x_ref: (E,) fully VMEM-resident extended vector; data_ref:
+    (ndiag, C) streamed block; y_ref: (C,) output block. Chunk j covers
+    extended rows [j·C, j·C + C): y[r] = Σ_o d_o · x_ext[r + o], read as
+    static shifted subslices of one aligned dynamic window."""
+    lax_ = jax.lax
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+    j = pl.program_id(0)
+    is_margin = lax_.bitwise_or(lax_.lt(j, i32(lo_chunks)),
+                                lax_.ge(j, i32(hi_chunk)))
+    # window [j·C - H, j·C + C + H): in bounds for interior chunks
+    # (H ≤ Wl = lo_chunks·C); margin chunks clamp (output zeroed).
+    start = lax_.sub(lax_.mul(j, i32(C)), i32(H))
+    start = lax_.clamp(i32(0), start,
+                       i32(x_ref.shape[0] - (C + 2 * H)))
+    start = pl.multiple_of(start, 1024)
+    win = x_ref[pl.ds(start, C + 2 * H)]
+    acc = None
+    for d, o in enumerate(offsets):
+        seg = win[H + o: H + o + C]
+        row = data_ref[d, :]
+        if row.dtype != seg.dtype:
+            row = row.astype(seg.dtype)
+        term = row * seg
+        acc = term if acc is None else acc + term
+    y_ref[:] = jnp.where(is_margin, 0.0, acc)
+
+
 @jax.tree_util.register_pytree_node_class
 class ExtendedStencilOperator:
     """Pad-free Pallas DIA SpMV on halo-extended vectors.
@@ -348,25 +388,38 @@ class ExtendedStencilOperator:
 
     def tree_flatten(self):
         aux = (self.n, self.C, self.n_pad, self.Wl, self.H, self.W,
-               self.E, self.offsets, self.dtype)
+               self.E, self.offsets, self.dtype, self.resident)
         return (self.data_p,), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         (obj.n, obj.C, obj.n_pad, obj.Wl, obj.H, obj.W, obj.E,
-         obj.offsets, obj.dtype) = aux
+         obj.offsets, obj.dtype, obj.resident) = aux
         obj.data_p = children[0]
         return obj
 
-    def __init__(self, A: DIA, chunk: int | None = None):
+    def __init__(self, A: DIA, chunk: int | None = None,
+                 resident: bool | None = None):
         n, m = A.shape
         assert n == m
         offsets = A.offsets
         w = max(max(abs(o) for o in offsets), 1)
         ndiag = len(offsets)
+        if resident is None:
+            # estimate E at the resident chunk size for the decision
+            C_r = min(_round_up(n, 1024), _RESIDENT_CHUNK)
+            E_est = (2 * _round_up(w, C_r) + _round_up(n, C_r))
+            resident = (_RESIDENT_ENABLED and chunk is None
+                        and E_est <= _RESIDENT_E_CAP)
+        self.resident = bool(resident)
         if chunk is not None:
             C = chunk
+        elif self.resident:
+            C = min(_round_up(n, 1024), _RESIDENT_CHUNK)
+            if n % 1024 == 0:
+                while C > 1024 and n % C != 0:
+                    C -= 1024
         else:
             max_c = max(1024, (_PIPELINE_VMEM_BUDGET)
                         // (2 * 4 * max(ndiag, 1)) // 1024 * 1024)
@@ -381,6 +434,11 @@ class ExtendedStencilOperator:
         self.H = _round_up(w, 1024)
         self.W = C + 2 * self.H
         self.E = self.Wl + self.n_pad + self.Wl
+        if self.resident and (self.E > _RESIDENT_E_CAP
+                              or self.E < self.W):
+            # recompute with the DMA-windowed layout
+            self.__init__(A, chunk=chunk, resident=False)
+            return
         self.offsets = offsets
         self.dtype = A.data.dtype
         # data padded once, on host, at operator construction
@@ -410,10 +468,44 @@ class ExtendedStencilOperator:
         lo_chunks = self.Wl // C
         grid = self.E // C
         hi_chunk = lo_chunks + self.n_pad // C
+        dtype = jnp.result_type(self.data_p, x_ext)
+        if self.resident:
+            kernel = functools.partial(
+                _dia_ext_kernel_res, offsets=self.offsets, H=H, C=C,
+                lo_chunks=lo_chunks, hi_chunk=hi_chunk)
+
+            def data_map_r(j):
+                idx = jax.lax.max(
+                    jax.lax.sub(j, jnp.array(lo_chunks, jnp.int32)),
+                    jnp.array(0, jnp.int32))
+                idx = jax.lax.min(
+                    idx, jnp.array(self.n_pad // C - 1, jnp.int32))
+                return (0, idx)
+
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((self.E,), dtype),
+                grid=(grid,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+                    pl.BlockSpec((ndiag, C), data_map_r,
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((C,), lambda j: (j,),
+                                       memory_space=pltpu.VMEM),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * ndiag * self.n,
+                    bytes_accessed=(ndiag + 2) * self.n_pad * 4,
+                    transcendentals=0,
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=110 * 1024 * 1024,
+                ),
+                interpret=_INTERPRET,
+            )(x_ext, self.data_p)
         kernel = functools.partial(
             _dia_ext_kernel, offsets=self.offsets, H=H, C=C, W=W,
             grid=grid, lo_chunks=lo_chunks, hi_chunk=hi_chunk)
-        dtype = jnp.result_type(self.data_p, x_ext)
 
         def data_map(j):
             # interior chunk j reads data block j - lo_chunks; margins are
