@@ -91,8 +91,24 @@ def main():
 
     op = make_extended_operator(A3)
     if op is not None:
-        v = op.extend(v0)
-        dt = per_iter_time(lambda y: op(y) * scale, v)
+        try:
+            v = op.extend(v0)
+            dt = per_iter_time(lambda y: op(y) * scale, v)
+            extra["spmv_27pt_kernel"] = (
+                "resident" if getattr(op, "resident", False)
+                else "windowed")
+        except Exception as e:
+            # insurance: if the x-resident variant fails to compile on
+            # this chip, fall back to the DMA-windowed layout
+            extra["spmv_27pt_resident_error"] = str(e)[:120]
+            from tpu_sparse.kernels.pallas_spmv import (
+                ExtendedStencilOperator,
+            )
+
+            op = ExtendedStencilOperator(A3, resident=False)
+            v = op.extend(v0)
+            dt = per_iter_time(lambda y: op(y) * scale, v)
+            extra["spmv_27pt_kernel"] = "windowed"
     else:
         v = v0
         dt = per_iter_time(lambda y: spmv(A3, y) * scale, v)

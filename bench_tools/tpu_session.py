@@ -37,6 +37,44 @@ def main():
     W = jax.device_put(W, jax.devices()[0])
     v = jnp.asarray(rng.standard_normal(W.shape[0]).astype(np.float32))
 
+    # 0) x-resident vs DMA-windowed extended DIA kernel A/B (the headline)
+    from tpu_sparse.kernels import pallas_spmv as ps
+
+    for nx in (128, 160):
+        A3 = generators.poisson3d_27pt(nx, dtype=np.float32)
+        v3 = jnp.asarray(rng.standard_normal(A3.shape[0]).astype(
+            np.float32))
+        for label, kw in (("resident", dict(resident=True)),
+                          ("windowed", dict(resident=False))):
+            try:
+                op = ps.ExtendedStencilOperator(A3, **kw)
+                ve = op.extend(v3)
+                dt = per_iter_time(lambda y: op(y) * scale, ve)
+                bw_gbs = (A3.nnz * 4 + 3 * A3.shape[0] * 4) / dt / 1e9
+                print(f"ext {label} n={nx}^3 (C={op.C}): "
+                      f"{A3.nnz/dt/1e9:.1f} Gnnz/s ({bw_gbs:.0f} GB/s)",
+                      flush=True)
+            except Exception as e:
+                print(f"ext {label} n={nx}^3 FAILED: {str(e)[:200]}",
+                      flush=True)
+        # resident chunk sweep at the bench size
+        if nx == 128:
+            for c in (16, 32, 64, 128):
+                try:
+                    op = ps.ExtendedStencilOperator(A3, chunk=c * 1024,
+                                                    resident=True)
+                    if not op.resident:
+                        print(f"ext resident C={c}K: over cap", flush=True)
+                        continue
+                    ve = op.extend(v3)
+                    dt = per_iter_time(lambda y: op(y) * scale, ve)
+                    print(f"ext resident C={c}K: "
+                          f"{A3.nnz/dt/1e9:.1f} Gnnz/s", flush=True)
+                except Exception as e:
+                    print(f"ext resident C={c}K FAILED: {str(e)[:120]}",
+                          flush=True)
+        del A3, v3
+
     # 1) SpMM sweep over kt/rb
     from tpu_sparse.kernels import reference as kref
     from tpu_sparse.kernels.pallas_cwell import (cwell_spmm_pallas,
