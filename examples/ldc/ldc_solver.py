@@ -82,7 +82,7 @@ class LDCConfig:
     solver: str = "cg"          # 'cg' | 'bicgstab' | 'amg'
     tol: float = 1e-8
     maxiter: int = 2000
-    precond: str = "jacobi"     # 'none' | 'jacobi' | 'amg'
+    precond: str = "jacobi"     # 'none' | 'jacobi' | 'amg' | 'fsai'
     precision: str = "full"     # 'full' | 'mixed' (f32 inner pressure CG)
 
     def __post_init__(self):
@@ -111,6 +111,10 @@ class LDCSolver:
             self.M = jacobi_preconditioner(self.A)
         elif cfg.precond == "amg":
             self.M = amg_preconditioner(self.A)
+        elif cfg.precond == "fsai":
+            from tpu_sparse.precond import fsai_preconditioner
+
+            self.M = fsai_preconditioner(self.A)
         else:
             self.M = None
 
@@ -341,7 +345,7 @@ def run_solver_cli():
     ap.add_argument("--method", default="cg",
                     choices=["cg", "bicgstab", "amg"])
     ap.add_argument("--precond", default="jacobi",
-                    choices=["none", "jacobi", "amg"])
+                    choices=["none", "jacobi", "amg", "fsai"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--mixed", action="store_true",
                     help="mixed-precision pressure solves (f32 inner CG + "

@@ -40,3 +40,10 @@ def test_ldc_amg_precond():
     s = LDCSolver(cfg)
     stats = s.run(5)
     assert stats["mass_residual"] < 1e-6
+
+
+def test_ldc_fsai_precond():
+    cfg = LDCConfig(nx=16, Re=100.0, solver="cg", precond="fsai", tol=1e-8)
+    s = LDCSolver(cfg)
+    stats = s.run(5)
+    assert stats["mass_residual"] < 1e-6
