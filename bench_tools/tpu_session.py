@@ -39,6 +39,7 @@ def main():
 
     # 0) x-resident vs DMA-windowed extended DIA kernel A/B (the headline)
     from tpu_sparse.kernels import pallas_spmv as ps
+    from tpu_sparse.kernels import reference as kref
 
     for nx in (128, 160):
         A3 = generators.poisson3d_27pt(nx, dtype=np.float32)
@@ -74,6 +75,35 @@ def main():
                     print(f"ext resident C={c}K FAILED: {str(e)[:120]}",
                           flush=True)
         del A3, v3
+
+    # 0b) DF (f64 double-f32) resident vs windowed
+    jax.config.update("jax_enable_x64", True)
+    A64 = generators.poisson3d_27pt(64)
+    v64 = jnp.asarray(rng.standard_normal(A64.shape[0]))
+    for label, kw in (("resident", dict(resident=True)),
+                      ("windowed", dict(resident=False))):
+        try:
+            op64 = ps.ExtendedStencilOperatorDF(A64, **kw)
+            ve64 = op64.extend(v64)
+            dt = per_iter_time(lambda y: op64(y) * scale, ve64)
+            print(f"ext DF {label} n=64^3 (C={op64.C}): "
+                  f"{A64.nnz/dt/1e9:.1f} Gnnz/s", flush=True)
+        except Exception as e:
+            print(f"ext DF {label} FAILED: {str(e)[:200]}", flush=True)
+    # accuracy spot check for the resident DF path on chip
+    try:
+        opr = ps.ExtendedStencilOperatorDF(A64, resident=True)
+        y = opr.matvec64(v64)
+        yo = kref.dia_spmv(A64, v64)
+        rel = float(jnp.max(jnp.abs(y - yo))
+                    / jnp.max(jnp.abs(yo)))
+        print(f"ext DF resident rel err vs f64 oracle: {rel:.2e}",
+              flush=True)
+    except Exception as e:
+        print(f"ext DF resident accuracy FAILED: {str(e)[:200]}",
+              flush=True)
+    jax.config.update("jax_enable_x64", False)
+    del A64, v64
 
     # 1) SpMM sweep over kt/rb
     from tpu_sparse.kernels import reference as kref

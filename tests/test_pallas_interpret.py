@@ -120,3 +120,27 @@ def test_extended_resident_cap_falls_back():
         assert not op.resident
     finally:
         ps._RESIDENT_E_CAP = orig
+
+
+def test_df_kernel_resident_interpreted():
+    """x-resident DF variant matches the windowed DF kernel bit-for-bit
+    structure-wise (same EFT math, different x delivery)."""
+    was_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        A = generators.poisson2d(40)  # f64
+        n = A.shape[0]
+        op = ps.ExtendedStencilOperatorDF(A, resident=True)
+        assert op.resident
+        v = jnp.asarray(np.random.default_rng(3).standard_normal(n))
+        y = op.matvec64(v)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(kref.dia_spmv(A, v)),
+                                   rtol=1e-6, atol=1e-6)
+        op_w = ps.ExtendedStencilOperatorDF(A, resident=False)
+        assert not op_w.resident
+        y_w = op_w.matvec64(v)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_w),
+                                   rtol=1e-6, atol=1e-6)
+    finally:
+        jax.config.update("jax_enable_x64", was_x64)

@@ -675,6 +675,37 @@ def _dia_ext_kernel_df(x_hbm, data_ref, y_ref, xa, xb, sems, *, offsets,
         compute(xb)
 
 
+def _dia_ext_kernel_df_res(x_ref, data_ref, y_ref, *, offsets, H, C,
+                           lo_chunks, hi_chunk):
+    """x-resident DF variant: x_ref (2, E) f32 [hi; lo] fully in VMEM,
+    data_ref (2·ndiag, C) streamed, y_ref (2, C) [sum; compensation]."""
+    lax_ = jax.lax
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+    j = pl.program_id(0)
+    is_margin = lax_.bitwise_or(lax_.lt(j, i32(lo_chunks)),
+                                lax_.ge(j, i32(hi_chunk)))
+    ndiag = len(offsets)
+    start = lax_.sub(lax_.mul(j, i32(C)), i32(H))
+    start = lax_.clamp(i32(0), start,
+                       i32(x_ref.shape[1] - (C + 2 * H)))
+    start = pl.multiple_of(start, 1024)
+    winh = x_ref[0, pl.ds(start, C + 2 * H)]
+    winl = x_ref[1, pl.ds(start, C + 2 * H)]
+    s = jnp.zeros((C,), jnp.float32)
+    c = jnp.zeros((C,), jnp.float32)
+    for d, o in enumerate(offsets):
+        xh = winh[H + o: H + o + C]
+        xl = winl[H + o: H + o + C]
+        dh = data_ref[d, :]
+        dl = data_ref[ndiag + d, :]
+        p, e = _two_prod(dh, xh)
+        e = e + dh * xl + dl * xh
+        s, es = _two_sum(s, p)
+        c = c + es + e
+    y_ref[0, :] = jnp.where(is_margin, 0.0, s)
+    y_ref[1, :] = jnp.where(is_margin, 0.0, c)
+
+
 @jax.tree_util.register_pytree_node_class
 class ExtendedStencilOperatorDF:
     """Double-f32 pad-free DIA SpMV on halo-extended hi/lo pair vectors.
@@ -692,25 +723,38 @@ class ExtendedStencilOperatorDF:
 
     def tree_flatten(self):
         aux = (self.n, self.C, self.n_pad, self.Wl, self.H, self.W,
-               self.E, self.offsets)
+               self.E, self.offsets, self.resident)
         return (self.data_p,), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         (obj.n, obj.C, obj.n_pad, obj.Wl, obj.H, obj.W, obj.E,
-         obj.offsets) = aux
+         obj.offsets, obj.resident) = aux
         obj.data_p = children[0]
         return obj
 
-    def __init__(self, A: DIA, chunk: int | None = None):
+    def __init__(self, A: DIA, chunk: int | None = None,
+                 resident: bool | None = None):
         n, m = A.shape
         assert n == m
         offsets = A.offsets
         w = max(max(abs(o) for o in offsets), 1)
         ndiag = len(offsets)
+        if resident is None:
+            # hi+lo pairs double the resident x and y: halve the cap
+            C_r = min(_round_up(n, 1024), _RESIDENT_CHUNK)
+            E_est = (2 * _round_up(w, C_r) + _round_up(n, C_r))
+            resident = (_RESIDENT_ENABLED and chunk is None
+                        and E_est <= _RESIDENT_E_CAP // 2)
+        self.resident = bool(resident)
         if chunk is not None:
             C = chunk
+        elif self.resident:
+            C = min(_round_up(n, 1024), _RESIDENT_CHUNK)
+            if n % 1024 == 0:
+                while C > 1024 and n % C != 0:
+                    C -= 1024
         else:
             # hi+lo data doubles the per-chunk block: halve the cap
             max_c = max(1024, (_PIPELINE_VMEM_BUDGET)
@@ -726,6 +770,10 @@ class ExtendedStencilOperatorDF:
         self.H = _round_up(w, 1024)
         self.W = C + 2 * self.H
         self.E = self.Wl + self.n_pad + self.Wl
+        if self.resident and (self.E > _RESIDENT_E_CAP // 2
+                              or self.E < self.W):
+            self.__init__(A, chunk=chunk, resident=False)
+            return
         self.offsets = offsets
         dh = A.data.astype(jnp.float32)
         dl = (A.data - dh.astype(jnp.float64)).astype(jnp.float32)
@@ -758,9 +806,6 @@ class ExtendedStencilOperatorDF:
         lo_chunks = self.Wl // C
         grid = self.E // C
         hi_chunk = lo_chunks + self.n_pad // C
-        kernel = functools.partial(
-            _dia_ext_kernel_df, offsets=self.offsets, H=H, C=C, W=W,
-            grid=grid, lo_chunks=lo_chunks, hi_chunk=hi_chunk)
 
         def data_map(j):
             idx = jax.lax.max(
@@ -770,6 +815,35 @@ class ExtendedStencilOperatorDF:
                 idx, jnp.array(self.n_pad // C - 1, jnp.int32))
             return (0, idx)
 
+        if self.resident:
+            kernel = functools.partial(
+                _dia_ext_kernel_df_res, offsets=self.offsets, H=H, C=C,
+                lo_chunks=lo_chunks, hi_chunk=hi_chunk)
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((2, self.E), jnp.float32),
+                grid=(grid,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+                    pl.BlockSpec((2 * ndiag, C), data_map,
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((2, C), lambda j: (0, j),
+                                       memory_space=pltpu.VMEM),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * 20 * ndiag * self.n,
+                    bytes_accessed=(2 * ndiag + 4) * self.n_pad * 4,
+                    transcendentals=0,
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=110 * 1024 * 1024,
+                ),
+                interpret=_INTERPRET,
+            )(x_ext, self.data_p)
+
+        kernel = functools.partial(
+            _dia_ext_kernel_df, offsets=self.offsets, H=H, C=C, W=W,
+            grid=grid, lo_chunks=lo_chunks, hi_chunk=hi_chunk)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((2, self.E), jnp.float32),
