@@ -186,8 +186,12 @@ def test_solve_multi_rhs_block_and_batched():
         assert r.converged, (method, r)
         np.testing.assert_allclose(np.asarray(X), Xt, rtol=1e-4,
                                    atol=1e-6, err_msg=method)
-    with pytest.raises(NotImplementedError):
-        s.solve(A, B, method="cg", precision="mixed")
+    # mixed-precision multi-RHS: vmapped defect-correction refinement
+    X4, r4 = s.solve(A, B, method="cg", precision="mixed", tol=1e-10)
+    assert r4.converged
+    np.testing.assert_allclose(np.asarray(X4), Xt, rtol=1e-8, atol=1e-8)
+    with pytest.raises(ValueError, match="no mixed-precision variant"):
+        s.solve(A, B, method="minres", precision="mixed")
 
 
 def test_solve_multi_rhs_warm_start_and_reporting():

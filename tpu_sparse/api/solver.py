@@ -165,13 +165,9 @@ class SparseSolver:
         # solvers (the reference loops sequentially per RHS,
         # cudss_solver.py:297-324; here one compiled program covers all k).
         if getattr(b, "ndim", 1) == 2 and hasattr(b, "dtype"):
-            if precision == "mixed":
-                raise NotImplementedError(
-                    "precision='mixed' supports one RHS; loop over columns "
-                    "or use precision='full' (block/batched path)")
             return self._solve_multirhs(
                 A, b, x0, sel_backend, sel_method, tol, atol, maxiter, M,
-                restart, solve_method, **kwargs)
+                restart, solve_method, precision=precision, **kwargs)
 
         if sel_backend == "krylov" and precision == "mixed":
             x, info, iters, res, rel = self._solve_krylov_mixed(
@@ -309,9 +305,11 @@ class SparseSolver:
         return x, info, None, res, rel
 
     def _solve_multirhs(self, A, B, X0, sel_backend, method, tol, atol,
-                        maxiter, M, restart, solve_method, **kwargs):
+                        maxiter, M, restart, solve_method,
+                        precision="full", **kwargs):
         """(n, k) RHS block: block CG for SPD methods (shared Krylov
-        space, kxk MXU Gram dots), vmapped solvers otherwise."""
+        space, kxk MXU Gram dots), vmapped solvers otherwise;
+        precision='mixed' vmaps the defect-correction refinement."""
         from tpu_sparse.solvers import (batch_bicgstab, batch_gmres,
                                         block_cg)
 
@@ -322,6 +320,27 @@ class SparseSolver:
             maxiter = maxiter if maxiter is not None else 100
             method = "cg"
             sel_backend = "krylov"
+        if precision == "mixed" and sel_backend == "krylov":
+            if method not in ("cg", "bicgstab", "gmres"):
+                raise ValueError(
+                    f"{method} has no mixed-precision variant; use "
+                    "precision='full'")
+            from tpu_sparse.solvers import batch_refined
+
+            kw = dict(tol=tol, atol=atol, maxiter=maxiter, M=M)
+            if method == "gmres":
+                kw.update(restart=restart, solve_method=solve_method)
+            X, infos, iters_v, res = batch_refined(
+                method, _wrap_m(A), B, X0, **kw)
+            info = jnp.where(jnp.all(infos == 0), 0, -1).astype(jnp.int32)
+            iters = jnp.max(iters_v)
+            bn = jnp.linalg.norm(B, axis=0)
+            rel = jnp.max(res / jnp.where(bn > 0, bn, 1.0))
+            info_v, iters_vv, rel_v = jax.device_get((info, iters, rel))
+            return X, SolverResult(
+                x=X, converged=bool(info_v == 0),
+                iterations=int(iters_vv), residual=float(rel_v),
+                backend=report_backend, method=report_method)
         if sel_backend == "direct":
             from tpu_sparse.solvers import batch_direct
             from tpu_sparse.direct import direct_residual_info

@@ -22,6 +22,7 @@ from tpu_sparse.solvers.batched import (
     batch_fgmres,
     batch_gmres,
     batch_minres,
+    batch_refined,
 )
 from tpu_sparse.solvers.block import block_cg
 from tpu_sparse.solvers.minres import minres, minres_full
@@ -57,6 +58,7 @@ __all__ = [
     "minres", "minres_full",
     "cg_refined", "bicgstab_refined", "gmres_refined", "refined_solve",
     "batch_cg", "batch_bicgstab", "batch_gmres", "batch_minres",
+    "batch_refined",
     "batch_fcg", "batch_fgmres",
     "batch_direct",
     "block_cg",

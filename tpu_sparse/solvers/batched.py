@@ -75,6 +75,24 @@ def batch_minres(A, B: jax.Array, X0=None, *, tol: float = 1e-5,
                   maxiter=maxiter, M=M)
 
 
+def batch_refined(method: str, A, B: jax.Array, X0=None, *,
+                  tol: float = 1e-8, atol: float = 0.0,
+                  maxiter: Optional[int] = None, M=None, **kw):
+    """Mixed-precision (defect-correction) solve per column of B.
+
+    vmaps `refined_solve` over the RHS columns: one compiled program runs
+    all k refinements, each with its own sweep acceptance/stall logic
+    (everything inside refined_solve is jnp-level, so it batches
+    cleanly). Returns (X, infos, inner_iters, res_norms)."""
+    from tpu_sparse.solvers.mixed import (bicgstab_refined, cg_refined,
+                                          gmres_refined)
+
+    fn = {"cg": cg_refined, "bicgstab": bicgstab_refined,
+          "gmres": gmres_refined}[method]
+    return _batch(fn, A, B, X0, tol=tol, atol=atol, maxiter=maxiter,
+                  M=M, **kw)
+
+
 def batch_direct(A, B: jax.Array):
     """Direct solve per column (vmapped banded/dense solver)."""
     from tpu_sparse.direct import direct_solve
