@@ -106,7 +106,6 @@ def main():
     del A64, v64
 
     # 1) SpMM sweep over kt/rb
-    from tpu_sparse.kernels import reference as kref
     from tpu_sparse.kernels.pallas_cwell import (cwell_spmm_pallas,
                                                  cwell_spmv_pallas)
 

@@ -3,6 +3,7 @@ reporting, solver construction, explicit-backend routing, auto selection
 (:129-154), shortcut methods, module-level convenience functions, error
 handling for invalid backend (:314-344)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -245,3 +246,50 @@ def test_to_tpu_operator_f64_wide_uses_df_compatible_segments():
     x = jnp.asarray(rng.standard_normal(m))
     np.testing.assert_allclose(np.asarray(spmv(W, x)), S @ np.asarray(x),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_m_ignored_warning_for_amg_and_direct(spd):
+    """Backends that don't use M must say so, not silently drop it —
+    and string-M setup must be skipped entirely there."""
+    A, b = spd
+    s = SparseSolver()
+    with pytest.warns(UserWarning, match="M is ignored"):
+        x, r = s.solve(A, b, method="amg", M="jacobi", tol=1e-8)
+    assert r.converged
+    with pytest.warns(UserWarning, match="M is ignored"):
+        x, r = s.solve(A, b, method="direct", M="jacobi")
+    assert r.converged
+
+
+def test_resident_toggle_roundtrip():
+    """set_resident_enabled flips auto-selection (CPU probe is trivial)."""
+    from tpu_sparse import kernels
+    from tpu_sparse.kernels import pallas_spmv as ps
+    from tpu_sparse.sparse.containers import DIA
+
+    n = 4096
+    A = DIA(jnp.ones((3, n), jnp.float32), (-1, 0, 1), (n, n))
+    try:
+        kernels.set_resident_enabled(False)
+        assert not ps.ExtendedStencilOperator(A).resident
+        kernels.set_resident_enabled(True)
+        assert ps.ExtendedStencilOperator(A).resident
+    finally:
+        kernels.set_resident_enabled(True)
+
+
+def test_batch_safe_matvec_spmm_route():
+    """vmapped matvec must produce the SpMM result (batch axis handling)."""
+    from tpu_sparse.kernels import batch_safe_matvec
+    from tpu_sparse.sparse.convert import dense_to_csr
+    from tpu_sparse.sparse.optimize import to_tpu_operator
+
+    rng = np.random.default_rng(7)
+    Ad = np.asarray(rng.standard_normal((96, 96)))
+    Ad[np.abs(Ad) < 1.2] = 0.0
+    W = to_tpu_operator(dense_to_csr(jnp.asarray(Ad)))
+    mv = batch_safe_matvec(W)
+    X = jnp.asarray(rng.standard_normal((96, 5)))
+    Y = jax.vmap(mv, in_axes=-1, out_axes=-1)(X)
+    np.testing.assert_allclose(np.asarray(Y), Ad @ np.asarray(X),
+                               rtol=1e-5, atol=1e-5)

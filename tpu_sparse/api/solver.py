@@ -145,8 +145,6 @@ class SparseSolver:
         'jacobi' | 'fsai' | 'fsai2' | 'chebyshev' | 'neumann' | 'ilu0' |
         'amg' — built once per matrix content and cached.
         """
-        if isinstance(M, str):
-            M = self._precond_M(A, M)
         if precision not in ("full", "mixed"):
             raise ValueError(
                 f"unknown precision '{precision}'; use 'full' or 'mixed'")
@@ -160,6 +158,20 @@ class SparseSolver:
         sel_backend, sel_method = self._select_backend(backend, method)
         if self.verbose:
             print(f"[SparseSolver] backend={sel_backend} method={sel_method}")
+
+        # Resolve/validate M only for backends that use it.  AMG builds its
+        # own hierarchy preconditioning and the direct path factorizes A, so
+        # a user-supplied M there would be silently dropped — say so instead
+        # (and skip the potentially expensive string-M setup entirely).
+        if M is not None and sel_backend in ("amg", "direct"):
+            import warnings
+            warnings.warn(
+                f"M is ignored for backend='{sel_backend}' "
+                f"(method='{sel_method}'); use a krylov method to apply a "
+                "preconditioner.", stacklevel=2)
+            M = None
+        elif isinstance(M, str):
+            M = self._precond_M(A, M)
 
         # Multi-RHS: a 2-D array b = (n, k) routes to the block/batched
         # solvers (the reference loops sequentially per RHS,

@@ -31,6 +31,14 @@ def set_pallas_enabled(enabled: bool) -> None:
     _PALLAS_ENABLED = enabled
 
 
+def set_resident_enabled(enabled: bool) -> None:
+    """Toggle the x-resident extended-kernel variants at runtime
+    (delegates to kernels.pallas_spmv; windowed DMA kernels remain)."""
+    from tpu_sparse.kernels import pallas_spmv
+
+    pallas_spmv.set_resident_enabled(enabled)
+
+
 
 def _cwellseg_apply(A, operand, seg_fn, out_cols=None):
     """Sum per-segment applications into (n,) or (n, k) output, writing
@@ -173,6 +181,32 @@ def spmm(A, B: jax.Array) -> jax.Array:
     if isinstance(A, BSR):
         return ref.bsr_spmm(A, B)
     return jnp.dot(A, B, precision=jax.lax.Precision.HIGHEST)
+
+
+def batch_safe_matvec(A) -> Callable:
+    """Matvec closure over A whose vmap rule is one SpMM.
+
+    vmapping a raw `spmv` would hand the manual-DMA Pallas kernels (DIA
+    extended windows, CWELL gathers) to Pallas's generic batching rule —
+    unvalidated on TPU and slower than a real SpMM even where it lowers.
+    Instead, a batched matvec IS an SpMM: route it to the dedicated SpMM
+    dispatch (MXU CWELL/BELL kernels, XLA shifted-multiply DIA SpMM).
+    Used by the batched multi-RHS solvers (solvers/batched.py)."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def mv(x):
+        return spmv(A, x)
+
+    @mv.def_vmap
+    def _mv_vmap(axis_size, in_batched, x):
+        (x_batched,) = in_batched
+        if not x_batched:
+            return spmv(A, x), False
+        # custom_vmap delivers the batch at axis 0: x is (k, n)
+        return spmm(A, x.T).T, True
+
+    return mv
 
 
 def as_matvec(A) -> Callable:

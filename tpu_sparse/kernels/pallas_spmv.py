@@ -343,6 +343,48 @@ def _dia_ext_kernel(x_hbm, data_ref, y_ref, xa, xb, sems, *, offsets, H, C,
 _RESIDENT_E_CAP = 6 * 1024 * 1024   # elements (24 MB x + 24 MB y)
 _RESIDENT_CHUNK = 32 * 1024         # data-streaming sweet spot
 _RESIDENT_ENABLED = True            # kill switch (perf A/B, debugging)
+_RESIDENT_PROBE: dict = {}          # {"f32"|"df": bool} — one-time results
+
+
+def set_resident_enabled(flag: bool) -> None:
+    """Runtime toggle for the x-resident extended kernels (A/B, debugging)."""
+    global _RESIDENT_ENABLED
+    _RESIDENT_ENABLED = bool(flag)
+    _RESIDENT_PROBE.clear()
+
+
+def _resident_ok(kind: str) -> bool:
+    """One-time tiny compile+run probe of the resident kernel on this chip.
+
+    The resident variant is newer than the DMA-windowed kernel; if Mosaic
+    rejected it on some chip generation, every TPU stencil solve with
+    E ≤ cap would raise instead of degrading — so library auto-selection
+    must not pick it before one instance has demonstrably compiled and
+    run. Interpret mode and non-TPU backends cannot hard-fail Mosaic and
+    pass trivially. Probed once per process per kernel family.
+    """
+    got = _RESIDENT_PROBE.get(kind)
+    if got is not None:
+        return got
+    if _INTERPRET or jax.default_backend() != "tpu":
+        _RESIDENT_PROBE[kind] = True
+        return True
+    from tpu_sparse.sparse.containers import DIA
+    try:
+        n = 2048
+        A = DIA(jnp.ones((3, n), jnp.float32), (-1, 0, 1), (n, n))
+        cls = (ExtendedStencilOperatorDF if kind == "df"
+               else ExtendedStencilOperator)
+        op = cls(A, resident=True)
+        jax.block_until_ready(op(op.extend(jnp.ones((n,), jnp.float32))))
+        _RESIDENT_PROBE[kind] = True
+    except Exception as e:  # Mosaic compile / runtime failure
+        import warnings
+        warnings.warn(
+            f"x-resident extended kernel ({kind}) failed its probe on this "
+            f"TPU; falling back to the DMA-windowed kernel: {str(e)[:200]}")
+        _RESIDENT_PROBE[kind] = False
+    return _RESIDENT_PROBE[kind]
 
 
 def _dia_ext_kernel_res(x_ref, data_ref, y_ref, *, offsets, H, C,
@@ -411,7 +453,8 @@ class ExtendedStencilOperator:
             C_r = min(_round_up(n, 1024), _RESIDENT_CHUNK)
             E_est = (2 * _round_up(w, C_r) + _round_up(n, C_r))
             resident = (_RESIDENT_ENABLED and chunk is None
-                        and E_est <= _RESIDENT_E_CAP)
+                        and E_est <= _RESIDENT_E_CAP
+                        and _resident_ok("f32"))
         self.resident = bool(resident)
         if chunk is not None:
             C = chunk
@@ -746,7 +789,8 @@ class ExtendedStencilOperatorDF:
             C_r = min(_round_up(n, 1024), _RESIDENT_CHUNK)
             E_est = (2 * _round_up(w, C_r) + _round_up(n, C_r))
             resident = (_RESIDENT_ENABLED and chunk is None
-                        and E_est <= _RESIDENT_E_CAP // 2)
+                        and E_est <= _RESIDENT_E_CAP // 2
+                        and _resident_ok("df"))
         self.resident = bool(resident)
         if chunk is not None:
             C = chunk

@@ -37,10 +37,12 @@ def _pattern_lower(S, pattern_power: int):
     """Lower-triangular (incl. diagonal) boolean pattern of S^p."""
     import scipy.sparse as sp
 
-    base = (S != 0).astype(np.int8).tocsr()
+    # int32 counts: rows sharing >=128 neighbours would wrap int8 and an
+    # exact multiple of 256 would silently drop the pattern entry.
+    base = (S != 0).astype(np.int32).tocsr()
     patt = base
     for _ in range(pattern_power - 1):
-        patt = ((patt @ base) != 0).astype(np.int8).tocsr()
+        patt = ((patt @ base) != 0).astype(np.int32).tocsr()
     n = S.shape[0]
     P = (sp.tril(patt, 0) + sp.eye(n, dtype=np.int8, format="csr"))
     P = (P != 0).astype(np.int8).tocsr()

@@ -18,7 +18,17 @@ from tpu_sparse.solvers.minres import minres_full
 
 
 def _batch(solver_full, A, B, X0=None, **kw):
-    """Solve A X = B column-wise; B is (n, k) or a batch of pytrees."""
+    """Solve A X = B column-wise; B is (n, k) or a batch of pytrees.
+
+    Sparse A is wrapped in `batch_safe_matvec` so the vmapped matvec
+    lowers to one SpMM instead of Pallas's generic kernel-batching rule
+    (unvalidated on TPU for the manual-DMA kernels, and slower than a
+    real SpMM where it does lower)."""
+    from tpu_sparse.kernels import batch_safe_matvec
+    from tpu_sparse.sparse.containers import is_sparse
+
+    if is_sparse(A):
+        A = batch_safe_matvec(A)
     if X0 is None:
         def one(b):
             return solver_full(A, b, None, **kw)

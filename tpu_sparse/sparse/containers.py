@@ -29,8 +29,10 @@ __all__ = ["COO", "CSR", "DIA", "BSR", "is_sparse"]
 
 
 def _matvec(A, x):
-    from tpu_sparse.kernels import spmv  # lazy: kernels import containers
+    from tpu_sparse.kernels import spmm, spmv  # lazy: kernels use containers
 
+    if getattr(x, "ndim", 1) == 2:
+        return spmm(A, x)
     return spmv(A, x)
 
 
