@@ -105,9 +105,55 @@ def main():
     jax.config.update("jax_enable_x64", False)
     del A64, v64
 
-    # 1) SpMM sweep over kt/rb
+    # 0c) grouped-plane CWELL quantum sweep (ROADMAP perf item 2):
+    # Q-plane runs share a window row -> 2*(8/Q) dynamic x-row reads per
+    # 8-plane group instead of 16, at S_Q/S_1 plane inflation.
     from tpu_sparse.kernels.pallas_cwell import (cwell_spmm_pallas,
                                                  cwell_spmv_pallas)
+
+    def _bench_cwell(Wq, tag):
+        if cwell_spmv_pallas(Wq, v) is None:
+            print(f"cwell {tag}: kernel unavailable", flush=True)
+            return
+        dt = per_iter_time(lambda z: cwell_spmv_pallas(Wq, z) * scale, v)
+        print(f"cwell {tag} (S={Wq.planes}, fill={Wq.fill:.2f}): "
+              f"{Wq.nnz/dt/1e9:.1f} Gnnz/s", flush=True)
+
+    _bench_cwell(W, "Q=1 27pt")
+    csr27 = to_csr(generators.poisson3d_27pt(64, dtype=np.float32))
+    for q in (2, 4, 8):
+        with jax.default_device(cpu0):
+            Wq = csr_to_cwell(csr27, group=q)
+        try:
+            _bench_cwell(jax.device_put(Wq, jax.devices()[0]),
+                         f"Q={q} 27pt")
+        except Exception as e:
+            print(f"cwell Q={q} FAILED: {str(e)[:200]}", flush=True)
+    del csr27
+    # unstructured case: random 1% (lower fill, inflation milder)
+    from tpu_sparse.sparse.convert import dense_to_csr
+    nrand = 4096
+    Ad = ((rng.random((nrand, nrand)) < 0.01)
+          * rng.standard_normal((nrand, nrand))).astype(np.float32)
+    Ar = dense_to_csr(Ad)
+    vr = jnp.asarray(rng.standard_normal(nrand).astype(np.float32))
+    for q in (1, 2, 4):
+        with jax.default_device(cpu0):
+            Wq = csr_to_cwell(Ar, group=q)
+        Wq = jax.device_put(Wq, jax.devices()[0])
+        try:
+            if cwell_spmv_pallas(Wq, vr) is None:
+                print(f"cwell rand Q={q}: unavailable", flush=True)
+                continue
+            dt = per_iter_time(
+                lambda z: cwell_spmv_pallas(Wq, z) * scale, vr)
+            print(f"cwell rand Q={q} (S={Wq.planes}, fill={Wq.fill:.2f}):"
+                  f" {Wq.nnz/dt/1e9:.1f} Gnnz/s", flush=True)
+        except Exception as e:
+            print(f"cwell rand Q={q} FAILED: {str(e)[:200]}", flush=True)
+    del Ad, Ar, vr
+
+    # 1) SpMM sweep over kt/rb
 
     for k in (8, 32, 128):
         B = jnp.asarray(rng.standard_normal((W.shape[1], k)).astype(

@@ -309,3 +309,110 @@ def test_to_tpu_operator_promotes_wide_to_segments():
     y = spmv(W, x)
     y_ref = Asp @ np.asarray(x)
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# grouped-plane pack + kernel variant: each aligned run of Q planes
+# shares one window row, so the Pallas kernel does 2*(8/Q) dynamic x-row
+# reads per 8-plane group instead of 16 (ROADMAP perf item 2).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("Q", [2, 4, 8])
+@pytest.mark.parametrize("n,m,density", [
+    (50, 50, 0.1), (200, 130, 0.05), (300, 520, 0.02),
+])
+def test_cwell_grouped_pack_roundtrip(n, m, density, Q):
+    A, Ad = _random_csr(n, m, density, seed=n + m)
+    W = csr_to_cwell(A, group=Q)
+    assert W.grouped and W.group == Q
+    np.testing.assert_allclose(np.asarray(W.todense()), Ad,
+                               rtol=1e-6, atol=1e-6)
+    assert W.nnz == A.nnz
+
+
+@pytest.mark.parametrize("Q", [2, 4, 8])
+def test_cwell_grouped_srow_uniform_within_runs(Q):
+    """The property the gq kernel relies on: srow is constant within
+    every aligned run of Q planes."""
+    A = to_csr(generators.poisson3d_27pt(8, dtype=np.float32))
+    W = csr_to_cwell(A, group=Q)
+    srow = np.asarray(W.srow)
+    vals = np.asarray(W.vals)
+    nb, S = srow.shape
+    assert S % 8 == 0
+    sg = srow.reshape(nb, S // Q, Q)
+    vg = vals.reshape(nb, S // Q, Q, 128)
+    # within a run, every USED plane (any nonzero val) must carry the
+    # run's first-plane srow; padding planes are free but in-bounds
+    used = (vg != 0).any(axis=3)
+    first = sg[:, :, :1]
+    assert np.all(np.where(used, sg == first, True))
+
+
+@pytest.mark.parametrize("Q", [2, 4, 8])
+def test_cwell_grouped_pallas_interpret(Q):
+    from tpu_sparse.kernels import pallas_cwell
+
+    A, Ad = _random_csr(300, 300, 0.05, seed=8)
+    W = csr_to_cwell(A, group=Q)
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal(300).astype(np.float32))
+    y_ref = ref.cwell_spmv(W, x)
+    pallas_cwell._INTERPRET = True
+    try:
+        y = pallas_cwell.cwell_spmv_pallas(W, x)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert y is not None
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("Q", [2, 8])
+def test_cwell_grouped_pallas_interpret_stencil(Q):
+    from tpu_sparse.kernels import pallas_cwell
+
+    A = to_csr(generators.poisson3d_27pt(8, dtype=np.float32))
+    W = csr_to_cwell(A, group=Q)
+    x = jnp.asarray(
+        np.random.default_rng(10).standard_normal(512).astype(np.float32))
+    y_ref = ref.csr_spmv(A, x)
+    pallas_cwell._INTERPRET = True
+    try:
+        y = pallas_cwell.cwell_spmv_pallas(W, x)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert y is not None
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("Q", [2, 4, 8])
+def test_cwell_grouped_pallas_interpret_df64(Q):
+    from tpu_sparse.kernels import pallas_cwell
+
+    A = to_csr(generators.poisson3d_27pt(8, dtype=np.float64))
+    W = csr_to_cwell(A, group=Q)
+    x = jnp.asarray(np.random.default_rng(12).standard_normal(512))
+    y_ref = np.asarray(ref.csr_spmv(A, x))
+    pallas_cwell._INTERPRET = True
+    try:
+        y = pallas_cwell.cwell_spmv_pallas_df(W, x)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert y is not None
+    assert y.dtype == jnp.float64
+    rel = np.abs(np.asarray(y) - y_ref).max() / np.abs(y_ref).max()
+    assert rel < 1e-6, rel
+
+
+def test_cwell_grouped_fill_inflation():
+    """Plane inflation per quantum on the 27-pt system: Q=2 must stay
+    within its profitability window (~1.2x)."""
+    A = to_csr(generators.poisson3d_27pt(12, dtype=np.float32))
+    W = csr_to_cwell(A)
+    S1 = W.planes
+    W2 = csr_to_cwell(A, group=2)
+    assert W2.planes % 8 == 0
+    assert W2.planes / S1 <= 1.25, (S1, W2.planes)

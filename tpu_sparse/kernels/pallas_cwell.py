@@ -88,19 +88,71 @@ def _cwell_kernel(srow_ref, x2d_ref, vals_ref, idx2_ref, y_ref, xw,
     lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "rb"))
-def _cwell_spmv_impl(vals, idx2, srow, x, *, shape, rb):
+def _cwell_kernel_gq(srowq_ref, x2d_ref, vals_ref, idx2_ref, y_ref,
+                     *, RB, S, Q):
+    """Grouped-plane variant: every aligned run of Q planes shares one
+    window row (csr_to_cwell(group=Q)), so the 16 dynamic x2d row reads
+    per 8-plane group collapse to 2*(8/Q) reads + sublane broadcasts.
+    srowq_ref is the per-RUN window row: (1, RB, S//Q) SMEM."""
+    lax_ = jax.lax
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+    G = S // 8
+    J = 8 // Q  # window runs per 8-plane group
+
+    def _window_pair(rb, g, base2d_ref):
+        """(8, LW) lo/hi gather sources for group g: J broadcast runs."""
+        lo_parts, hi_parts = [], []
+        for j in range(J):
+            r = srowq_ref[0, rb, lax_.add(lax_.mul(g, i32(J)), i32(j))]
+            lo_parts.append(jnp.broadcast_to(
+                base2d_ref[r, :][None, :], (Q, LW)))
+            hi_parts.append(jnp.broadcast_to(
+                base2d_ref[lax_.add(r, i32(1)), :][None, :], (Q, LW)))
+        if J == 1:
+            return lo_parts[0], hi_parts[0]
+        return (jnp.concatenate(lo_parts, axis=0),
+                jnp.concatenate(hi_parts, axis=0))
+
+    def g_body(g, carry):
+        rb, acc = carry
+        lo_src, hi_src = _window_pair(rb, g, x2d_ref)
+        idx = idx2_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
+        lo = jnp.take_along_axis(lo_src, jnp.minimum(idx, 127), axis=1)
+        hi = jnp.take_along_axis(hi_src, jnp.clip(idx - 128, 0, 127),
+                                 axis=1)
+        gathered = jnp.where(idx < 128, lo, hi)
+        v = vals_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
+        if v.dtype != jnp.float32:  # bf16 stream, f32 accumulate
+            v = v.astype(jnp.float32)
+        acc = acc + v * gathered
+        return rb, acc
+
+    def rb_body(rb, _):
+        acc = jnp.zeros((8, LW), jnp.float32)
+        _, acc = lax_.fori_loop(0, G, g_body, (rb, acc), unroll=G)
+        y_ref[rb, :] = jnp.sum(acc, axis=0)
+        return 0
+
+    lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "rb", "group"))
+def _cwell_spmv_impl(vals, idx2, srow, x, *, shape, rb, group=1):
     with jax.enable_x64(False):  # 32-bit trace mode for Mosaic
-        return _cwell_spmv_inner(vals, idx2, srow, x, shape=shape, rb=rb)
+        return _cwell_spmv_inner(vals, idx2, srow, x, shape=shape, rb=rb,
+                                 group=group)
 
 
-def _cwell_spmv_inner(vals, idx2, srow, x, *, shape, rb):
+def _cwell_spmv_inner(vals, idx2, srow, x, *, shape, rb, group=1):
+    grouped = group > 1
     nb, S, _ = vals.shape
     n, m = shape
     m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
     x2d = jnp.pad(x, (0, m_pad - m)).reshape(-1, LW)
     grid = (nb + rb - 1) // rb
     nb_pad = grid * rb
+    if grouped:
+        srow = srow[:, ::group]  # per-run window row (uniform within runs)
     if nb_pad != nb:
         vals = jnp.pad(vals, ((0, nb_pad - nb), (0, 0), (0, 0)))
         idx2 = jnp.pad(idx2, ((0, nb_pad - nb), (0, 0), (0, 0)))
@@ -108,15 +160,17 @@ def _cwell_spmv_inner(vals, idx2, srow, x, *, shape, rb):
     # Mosaic constrains the last two block dims to (8,128)-divisible OR
     # full-array; give srow a leading grid axis so its block IS the full
     # trailing array.
-    srow3 = srow.reshape(grid, rb, S)
+    srow3 = srow.reshape(grid, rb, srow.shape[1])
 
-    kernel = functools.partial(_cwell_kernel, RB=rb, S=S)
+    kernel = (functools.partial(_cwell_kernel_gq, RB=rb, S=S, Q=group)
+              if grouped else
+              functools.partial(_cwell_kernel, RB=rb, S=S))
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb_pad, LW), jnp.float32),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, rb, S), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rb, srow.shape[1]), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d fully resident
             pl.BlockSpec((rb, S, LW), lambda i: (i, 0, 0),
@@ -126,7 +180,7 @@ def _cwell_spmv_inner(vals, idx2, srow, x, *, shape, rb):
         ],
         out_specs=pl.BlockSpec((rb, LW), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
+        scratch_shapes=[] if grouped else [
             pltpu.VMEM((16, LW), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -176,7 +230,8 @@ def cwell_spmv_pallas(A: CWELL, x: jax.Array, rb: int | None = None):
     if A.planes % 8 != 0:
         return None
     y = _cwell_spmv_impl(A.vals, A.idx2, A.srow, x, shape=A.shape,
-                         rb=rb if rb is not None else _pick_rb(A.planes))
+                         rb=rb if rb is not None else _pick_rb(A.planes),
+                         group=getattr(A, "group", 1))
     return y.astype(out_dtype)
 
 
@@ -250,22 +305,85 @@ def _cwell_kernel_df(srow_ref, xh2d_ref, xl2d_ref, valsh_ref, valsl_ref,
     lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "rb"))
-def _cwell_spmv_df_impl(valsh, valsl, idx2, srow, x, *, shape, rb):
+def _cwell_kernel_df_gq(srowq_ref, xh2d_ref, xl2d_ref, valsh_ref,
+                        valsl_ref, idx2_ref, y_ref, *, RB, S, Q):
+    """Grouped-plane DF variant: 4*(8/Q) dynamic x-row reads per 8-plane
+    group (vs 32 in _cwell_kernel_df); srowq_ref is (1, RB, S//Q) SMEM."""
+    from tpu_sparse.kernels.pallas_spmv import _two_prod, _two_sum
+
+    lax_ = jax.lax
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+    G = S // 8
+    J = 8 // Q
+
+    def _window_pair(rb, g, base2d_ref):
+        lo_parts, hi_parts = [], []
+        for j in range(J):
+            r = srowq_ref[0, rb, lax_.add(lax_.mul(g, i32(J)), i32(j))]
+            lo_parts.append(jnp.broadcast_to(
+                base2d_ref[r, :][None, :], (Q, LW)))
+            hi_parts.append(jnp.broadcast_to(
+                base2d_ref[lax_.add(r, i32(1)), :][None, :], (Q, LW)))
+        if J == 1:
+            return lo_parts[0], hi_parts[0]
+        return (jnp.concatenate(lo_parts, axis=0),
+                jnp.concatenate(hi_parts, axis=0))
+
+    def g_body(g, carry):
+        rb, s_acc, c_acc = carry
+        xh_lo, xh_hi = _window_pair(rb, g, xh2d_ref)
+        xl_lo, xl_hi = _window_pair(rb, g, xl2d_ref)
+        idx = idx2_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
+        il = jnp.minimum(idx, 127)
+        ih = jnp.clip(idx - 128, 0, 127)
+        sel = idx < 128
+        xh = jnp.where(sel, jnp.take_along_axis(xh_lo, il, axis=1),
+                       jnp.take_along_axis(xh_hi, ih, axis=1))
+        xl = jnp.where(sel, jnp.take_along_axis(xl_lo, il, axis=1),
+                       jnp.take_along_axis(xl_hi, ih, axis=1))
+        vh = valsh_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
+        vl = valsl_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
+        p, e = _two_prod(vh, xh)
+        e = e + vh * xl + vl * xh
+        s_acc, es = _two_sum(s_acc, p)
+        c_acc = c_acc + es + e
+        return rb, s_acc, c_acc
+
+    def rb_body(rb, _):
+        z = jnp.zeros((8, LW), jnp.float32)
+        _, s_acc, c_acc = lax_.fori_loop(0, G, g_body, (rb, z, z),
+                                         unroll=G)
+        st = s_acc[0, :]
+        ct = c_acc[0, :]
+        for i in range(1, 8):
+            st, e = _two_sum(st, s_acc[i, :])
+            ct = ct + e + c_acc[i, :]
+        y_ref[rb, 0, :] = st
+        y_ref[rb, 1, :] = ct
+        return 0
+
+    lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "rb", "group"))
+def _cwell_spmv_df_impl(valsh, valsl, idx2, srow, x, *, shape, rb,
+                        group=1):
     # split x into a hi/lo pair in f64 mode, trace the kernel in 32-bit
     # mode, recombine in f64 mode.
     xh = x.astype(jnp.float32)
     xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
     with jax.enable_x64(False):
         y2 = _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl,
-                             shape=shape, rb=rb)
+                             shape=shape, rb=rb, group=group)
     n = shape[0]
     ys = y2[:, 0, :].reshape(-1)[:n]
     yc = y2[:, 1, :].reshape(-1)[:n]
     return ys.astype(jnp.float64) + yc.astype(jnp.float64)
 
 
-def _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl, *, shape, rb):
+def _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl, *, shape, rb,
+                    group=1):
+    grouped = group > 1
     nb, S, _ = valsh.shape
     n, m = shape
     m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
@@ -273,20 +391,24 @@ def _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl, *, shape, rb):
     xl2d = jnp.pad(xl, (0, m_pad - m)).reshape(-1, LW)
     grid = (nb + rb - 1) // rb
     nb_pad = grid * rb
+    if grouped:
+        srow = srow[:, ::group]  # per-run window row (uniform within runs)
     if nb_pad != nb:
         valsh = jnp.pad(valsh, ((0, nb_pad - nb), (0, 0), (0, 0)))
         valsl = jnp.pad(valsl, ((0, nb_pad - nb), (0, 0), (0, 0)))
         idx2 = jnp.pad(idx2, ((0, nb_pad - nb), (0, 0), (0, 0)))
         srow = jnp.pad(srow, ((0, nb_pad - nb), (0, 0)))
-    srow3 = srow.reshape(grid, rb, S)
+    srow3 = srow.reshape(grid, rb, srow.shape[1])
 
-    kernel = functools.partial(_cwell_kernel_df, RB=rb, S=S)
+    kernel = (functools.partial(_cwell_kernel_df_gq, RB=rb, S=S, Q=group)
+              if grouped else
+              functools.partial(_cwell_kernel_df, RB=rb, S=S))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb_pad, 2, LW), jnp.float32),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, rb, S), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rb, srow.shape[1]), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # xh2d resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # xl2d resident
@@ -299,7 +421,7 @@ def _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl, *, shape, rb):
         ],
         out_specs=pl.BlockSpec((rb, 2, LW), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
+        scratch_shapes=[] if grouped else [
             pltpu.VMEM((32, LW), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -475,4 +597,5 @@ def cwell_spmv_pallas_df(A: CWELL, x: jax.Array, rb: int | None = None):
         vh, vl = _cached_df_split(A)
     return _cwell_spmv_df_impl(vh, vl, A.idx2, A.srow, x, shape=A.shape,
                                rb=rb if rb is not None else
-                               _pick_rb(A.planes))
+                               _pick_rb(A.planes),
+                               group=getattr(A, "group", 1))

@@ -55,22 +55,32 @@ def _round_up(x: int, m: int) -> int:
 class CWELL:
     """Column-window ELL matrix (see module docstring)."""
 
-    def __init__(self, vals, idx2, srow, shape, nnz=None, fill=None):
+    def __init__(self, vals, idx2, srow, shape, nnz=None, fill=None,
+                 group=1):
         self.vals = vals
         self.idx2 = idx2
         self.srow = srow
         self.shape = tuple(int(s) for s in shape)
         self._nnz = None if nnz is None else int(nnz)
         self.fill = None if fill is None else float(fill)
+        # group quantum Q: every aligned run of Q planes shares one window
+        # row (csr_to_cwell(group=Q)) — the Pallas kernel then does
+        # 2*(8/Q) dynamic x-row reads per 8-plane group instead of 16.
+        self.group = int(group) if group else 1
+
+    @property
+    def grouped(self) -> bool:
+        return self.group > 1
 
     def tree_flatten(self):
         return (self.vals, self.idx2, self.srow), (
-            self.shape, self._nnz, self.fill)
+            self.shape, self._nnz, self.fill, self.group)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], children[1], children[2], aux[0],
-                   nnz=aux[1], fill=aux[2])
+                   nnz=aux[1], fill=aux[2],
+                   group=aux[3] if len(aux) > 3 else 1)
 
     @property
     def n_blocks(self) -> int:
@@ -92,7 +102,7 @@ class CWELL:
 
     def with_data(self, vals) -> "CWELL":
         return CWELL(vals, self.idx2, self.srow, self.shape,
-                     nnz=self._nnz, fill=self.fill)
+                     nnz=self._nnz, fill=self.fill, group=self.group)
 
     # -- conversions --------------------------------------------------------
 
@@ -153,14 +163,26 @@ def _cols_sorted(indptr: np.ndarray, cols: np.ndarray) -> bool:
     return not bad.any()
 
 
-def csr_to_cwell(A: CSR, *, plane_pad: int = 8) -> CWELL:
+def csr_to_cwell(A: CSR, *, plane_pad: int = 8,
+                 group: int = 1) -> CWELL:
     """Pack a CSR matrix into CWELL (host-side, vectorized numpy).
 
     Window assignment is fixed 256-column buckets (window w covers columns
     [256w, 256w+256)); within each (row-block, window) a row's k nonzeros
     occupy planes base..base+k-1 where base is the window's plane offset in
     the block. Runs in O(nnz log nnz).
+
+    group=Q (Q in {2, 4, 8}) pads every (row-block, window) plane run to
+    a multiple of Q so each aligned run of Q planes shares one window row;
+    the Pallas kernel then performs 2*(8/Q) dynamic x-row reads per
+    8-plane group instead of 16 (the measured copy bound, ROADMAP perf
+    item 2) at the cost of padding planes. Profitable when the plane
+    inflation S_Q/S_1 stays under roughly 1/(1 - c + c/Q) for copy share
+    c~0.36 (e.g. ~1.2x at Q=2, ~1.37x at Q=4).
     """
+    if group not in (1, 2, 4, 8):
+        raise ValueError("group quantum must be 1, 2, 4, or 8")
+    group8 = group > 1  # any quantum pads runs; naming kept for brevity
     indptr = np.asarray(A.indptr, dtype=np.int64)
     cols = np.asarray(A.indices, dtype=np.int64)
     data = np.asarray(A.data)
@@ -175,12 +197,16 @@ def csr_to_cwell(A: CSR, *, plane_pad: int = 8) -> CWELL:
         idx2 = np.zeros((nb, plane_pad, LW), dtype=np.int32)
         srow = np.zeros((nb, plane_pad), dtype=np.int32)
         return CWELL(jnp.asarray(vals), jnp.asarray(idx2),
-                     jnp.asarray(srow), (n, m), nnz=0, fill=0.0)
+                     jnp.asarray(srow), (n, m), nnz=0, fill=0.0,
+                     group=group)
 
     # C++ fast path for large packs: two streaming passes writing each
     # output once vs the numpy pipeline's ~20 nnz-sized intermediates
     # (fresh-page population costs ~6 s/GB on this host).
-    if nnz >= (1 << 20) and data.dtype in (np.float32, np.float64) \
+    # (group8 packs take the numpy path; extend the C++ pack if the
+    # grouped kernel wins its on-chip A/B.)
+    if not group8 and nnz >= (1 << 20) \
+            and data.dtype in (np.float32, np.float64) \
             and _cols_sorted(indptr, cols):
         from tpu_sparse import native
 
@@ -225,6 +251,10 @@ def csr_to_cwell(A: CSR, *, plane_pad: int = 8) -> CWELL:
     np.maximum.at(planes_per_win, win_ids, rank + 1)
 
     # plane base per window = cumulative planes within each block
+    if group8:
+        # pad every (block, window) run to a multiple of Q planes so each
+        # aligned Q-plane run is window-homogeneous
+        planes_per_win = ((planes_per_win + group - 1) // group) * group
     win_first = np.flatnonzero(win_start)                # first slot per win
     win_block = b_s[win_first]
     csum = np.concatenate([[0], np.cumsum(planes_per_win)])
@@ -248,9 +278,21 @@ def csr_to_cwell(A: CSR, *, plane_pad: int = 8) -> CWELL:
     idx2[b_s, plane, r_s] = i2
     srow[b_s, plane] = sr
 
+    if group8:
+        # every plane of a padded run (padding slots included) must carry
+        # the run's window row so the kernel's per-run srow read is valid
+        # regardless of which plane of the run is populated
+        sr_win = np.minimum(w_s[win_first] * 2, rmax).astype(np.int32)
+        lens = planes_per_win
+        run_start = win_block * S + win_base
+        offs = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        srow.reshape(-1)[np.repeat(run_start, lens) + offs] = np.repeat(
+            sr_win, lens)
+
     fill = nnz / float(nb * S * LW)
     return CWELL(jnp.asarray(vals), jnp.asarray(idx2), jnp.asarray(srow),
-                 (n, m), nnz=nnz, fill=fill)
+                 (n, m), nnz=nnz, fill=fill, group=group)
 
 
 @jax.tree_util.register_pytree_node_class
