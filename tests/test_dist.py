@@ -315,3 +315,24 @@ def test_distributed_minres(mesh):
     assert int(it_d) == int(it_s)
     np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_s),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_distributed_cg_pipeline_matches_serial():
+    """pipeline=True (single-reduction CG) on the 8-device mesh must
+    reproduce the serial solution on the 27-pt system."""
+    from tpu_sparse.dist import distributed_cg
+    from tpu_sparse.solvers import cg_full
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson3d_27pt(16)
+    n = A.shape[0]
+    rng = np.random.default_rng(41)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = A @ x_true
+    xs, i0, k0, _ = cg_full(A, b, tol=1e-10)
+    xd, info, iters, res = distributed_cg(A, b, tol=1e-10, pipeline=True)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(xd), np.asarray(xs),
+                               rtol=1e-7, atol=1e-7)
+    # same mathematics: iteration counts stay in the same neighbourhood
+    assert abs(int(iters) - int(k0)) <= 10, (int(k0), int(iters))

@@ -391,3 +391,94 @@ def test_minres_router_and_failure():
     # truthful failure on maxiter exhaustion
     x2, r2 = s.solve(A, b, method="minres", tol=1e-14, maxiter=3)
     assert not r2.converged
+
+
+# ---------------------------------------------------------------------------
+# Single-reduction (Chronopoulos-Gear) CG — solvers/pipelined.py
+# ---------------------------------------------------------------------------
+
+
+def test_cg_sr_matches_cg():
+    """cg_sr must converge to the same solution in a comparable number of
+    iterations (the recurrence is mathematically identical CG)."""
+    from tpu_sparse.solvers import cg_full, cg_sr_full
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson2d(24)
+    n = A.shape[0]
+    rng = np.random.default_rng(31)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = A @ x_true
+    x1, i1, k1, r1 = cg_full(A, b, tol=1e-10)
+    x2, i2, k2, r2 = cg_sr_full(A, b, tol=1e-10)
+    assert int(i1) == 0 and int(i2) == 0
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x_true),
+                               rtol=1e-7, atol=1e-7)
+    # finite-precision CG-CG may need a handful more iterations
+    assert int(k2) <= int(k1) + 10, (int(k1), int(k2))
+
+
+def test_cg_sr_preconditioned():
+    from tpu_sparse.precond import jacobi_preconditioner
+    from tpu_sparse.solvers import cg_sr_full
+    from tpu_sparse.sparse import generators
+
+    A = generators.tridiagonal(400, dtype=np.float64)
+    n = A.shape[0]
+    rng = np.random.default_rng(32)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = A @ x_true
+    x, info, k, res = cg_sr_full(A, b, tol=1e-10,
+                                 M=jacobi_preconditioner(A))
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-7, atol=1e-7)
+
+
+def test_cg_sr_honest_failure():
+    """Indefinite system: must report info=-1, not a wrong answer."""
+    from tpu_sparse.solvers import cg_sr_full
+
+    n = 64
+    rng = np.random.default_rng(33)
+    d = jnp.asarray(np.r_[np.ones(32), -np.ones(32)])
+    A = lambda v: d * v  # noqa: E731
+    b = jnp.asarray(rng.standard_normal(n))
+    x, info, k, res = cg_sr_full(A, b, tol=1e-12, maxiter=100)
+    assert int(info) in (-1, 0)
+    if int(info) == 0:  # if it claims success the residual must be real
+        assert float(res) <= 1e-10 * float(jnp.linalg.norm(b))
+
+
+def test_cg_sr_zero_rhs():
+    from tpu_sparse.solvers import cg_sr_full
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson2d(8)
+    b = jnp.zeros(64, dtype=A.dtype)
+    x, info, k, res = cg_sr_full(A, b, tol=1e-10)
+    assert int(info) == 0
+    np.testing.assert_allclose(np.asarray(x), 0.0, atol=1e-12)
+
+
+def test_cg_sr_router_and_grad():
+    """cg_sr through the unified router and the implicit-diff adjoint."""
+    from tpu_sparse import solve
+    from tpu_sparse.autodiff import cg_sr_diff
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(34)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, r = solve(A, b, method="cg_sr", tol=1e-9)
+    assert r.converged and r.method == "cg_sr"
+
+    def loss(bb):
+        return jnp.sum(cg_sr_diff(A, bb, tol=1e-12)[0] ** 2)
+
+    g = jax.grad(loss)(b)
+    e = jnp.zeros_like(b).at[5].set(1.0)
+    h = 1e-6
+    fd = (loss(b + h * e) - loss(b - h * e)) / (2 * h)
+    np.testing.assert_allclose(float(g[5]), float(fd), rtol=1e-4)

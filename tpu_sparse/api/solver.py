@@ -32,6 +32,7 @@ from tpu_sparse.utils.tree import tree_norm, tree_sub
 
 class SolverMethod(Enum):
     CG = "cg"
+    CG_SR = "cg_sr"
     FCG = "fcg"
     MINRES = "minres"
     BICGSTAB = "bicgstab"
@@ -368,7 +369,9 @@ class SparseSolver:
                              -1).astype(jnp.int32)
             rel = jnp.max(jnp.stack(rels))
             iters = None
-        elif method == "cg":
+        elif method in ("cg", "cg_sr"):
+            # block CG already fuses reductions across the RHS block, so
+            # the single-reduction variant has nothing extra to offer here
             X, infos, iters, res = block_cg(A, B, X0, tol=tol, atol=atol,
                                             maxiter=maxiter, M=M)
             info = jnp.where(jnp.all(infos == 0), 0, -1).astype(jnp.int32)
@@ -458,7 +461,7 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
         gmres_refined,
     )
 
-    if mixed and method in ("fcg", "fgmres", "minres"):
+    if mixed and method in ("cg_sr", "fcg", "fgmres", "minres"):
         raise ValueError(
             f"{method} has no mixed-precision variant; use "
             "precision='full'")
@@ -486,6 +489,11 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
             if method == "cg":
                 return cg_diff(A, b, x0, tol=tol, atol=atol,
                                maxiter=maxiter, M=M)
+            if method == "cg_sr":
+                from tpu_sparse.autodiff import cg_sr_diff
+
+                return cg_sr_diff(A, b, x0, tol=tol, atol=atol,
+                                  maxiter=maxiter, M=M)
             if method == "fcg":
                 from tpu_sparse.autodiff import fcg_diff
 

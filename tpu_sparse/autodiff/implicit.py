@@ -45,11 +45,13 @@ from tpu_sparse.solvers.fcg import fcg_full
 from tpu_sparse.solvers.fgmres import fgmres_full
 from tpu_sparse.solvers.krylov import bicgstab_full, cg_full, gmres_full
 from tpu_sparse.solvers.minres import minres_full
+from tpu_sparse.solvers.pipelined import cg_sr_full
 from tpu_sparse.sparse.containers import BSR, CSR, DIA, is_sparse
 from tpu_sparse.utils.tree import tree_map
 
 _SOLVERS = {
     "cg": cg_full,
+    "cg_sr": cg_sr_full,
     "fcg": fcg_full,
     "bicgstab": bicgstab_full,
     "gmres": gmres_full,
@@ -59,7 +61,7 @@ _SOLVERS = {
 
 # 'symmetric' = the adjoint solve may reuse A (hermitian operators); FCG
 # additionally tolerates nonsymmetric M, so the forward M is reused too.
-_SYMMETRIC = {"cg": True, "fcg": True, "bicgstab": False,
+_SYMMETRIC = {"cg": True, "cg_sr": True, "fcg": True, "bicgstab": False,
               "gmres": False, "fgmres": False, "minres": True}
 
 
@@ -239,6 +241,14 @@ def cg_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
     """
     opts = (("tol", tol), ("atol", atol), ("maxiter", maxiter))
     return _dispatch("cg", A, b, x0, M, opts)
+
+
+def cg_sr_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
+               maxiter: Optional[int] = None, M=None):
+    """Single-reduction (Chronopoulos-Gear) CG with implicit-diff adjoint
+    (A hermitian => adjoint solve reuses A). Same contract as cg_diff."""
+    opts = (("tol", tol), ("atol", atol), ("maxiter", maxiter))
+    return _dispatch("cg_sr", A, b, x0, M, opts)
 
 
 def fcg_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,

@@ -87,11 +87,18 @@ def distributed_cg(A, b: jax.Array, x0: Optional[jax.Array] = None, *,
                    mesh: Optional[Mesh] = None, mode: str = "gspmd",
                    tol: float = 1e-6, atol: float = 0.0,
                    maxiter: Optional[int] = None,
-                   M: Optional[Callable] = None):
+                   M: Optional[Callable] = None,
+                   pipeline: bool = False):
     """CG on a row-partitioned banded system.
 
     Returns (x, info, iters, res) with x sharded over the mesh. The result
     is unpadded to b's original length on return.
+
+    pipeline=True runs the single-reduction Chronopoulos-Gear recurrence
+    (solvers/pipelined.py): one fused all-reduce round per iteration
+    instead of two dependent ones — the right trade when reduction
+    latency (multi-host DCN) bounds scaling, at 1-2 extra axpys per
+    iteration.
     """
     if mesh is None:
         mesh = make_row_mesh()
@@ -101,11 +108,16 @@ def distributed_cg(A, b: jax.Array, x0: Optional[jax.Array] = None, *,
     A_sh, matvec = distributed_matvec_op(A, mesh, mode)
     b_sh = shard_vector(b, mesh, unit)
     x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
+    solver = cg_full
+    if pipeline:
+        from tpu_sparse.solvers.pipelined import cg_sr_full
+
+        solver = cg_sr_full
 
     @partial(jax.jit, static_argnums=())
     def _run(bb, xx0):
-        return cg_full(matvec, bb, xx0, tol=tol, atol=atol, maxiter=maxiter,
-                       M=M)
+        return solver(matvec, bb, xx0, tol=tol, atol=atol, maxiter=maxiter,
+                      M=M)
 
     x, info, iters, res = _run(b_sh, x0_sh)
     return x[:n_orig], info, iters, res

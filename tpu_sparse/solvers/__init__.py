@@ -26,6 +26,7 @@ from tpu_sparse.solvers.batched import (
 )
 from tpu_sparse.solvers.block import block_cg
 from tpu_sparse.solvers.minres import minres, minres_full
+from tpu_sparse.solvers.pipelined import cg_sr, cg_sr_full
 
 
 def cg_differentiable(A, b, **kwargs):
@@ -56,6 +57,7 @@ __all__ = [
     "cg", "bicgstab", "gmres", "cg_full", "bicgstab_full", "gmres_full",
     "fcg", "fcg_full", "fgmres", "fgmres_full",
     "minres", "minres_full",
+    "cg_sr", "cg_sr_full",
     "cg_refined", "bicgstab_refined", "gmres_refined", "refined_solve",
     "batch_cg", "batch_bicgstab", "batch_gmres", "batch_minres",
     "batch_refined",

@@ -387,7 +387,8 @@ class CWELLSeg:
 
 
 def csr_to_cwell_segments(A: CSR, *, seg_cols: int = 1 << 20,
-                          plane_pad: int = 8) -> CWELLSeg:
+                          plane_pad: int = 8,
+                          group: int = 1) -> CWELLSeg:
     """Split A into 256-aligned column segments and pack each as CWELL."""
     import scipy.sparse as sp
 
@@ -412,7 +413,7 @@ def csr_to_cwell_segments(A: CSR, *, seg_cols: int = 1 << 20,
         sub = sub[r0:r1]
         Wc = csr_to_cwell(csr_from_arrays(sub.data, sub.indices,
                                           sub.indptr, (r1 - r0, j1 - j0)),
-                          plane_pad=plane_pad)
+                          plane_pad=plane_pad, group=group)
         return Wc, j0, j1 - j0, r0
 
     # sequential: packing is memory-bandwidth bound on fresh allocations
@@ -428,7 +429,7 @@ def csr_to_cwell_segments(A: CSR, *, seg_cols: int = 1 << 20,
         widths.append(w)
         rstarts.append(r0)
     if not segments:  # all-zero matrix: keep one empty segment
-        segments = [csr_to_cwell(A, plane_pad=plane_pad)]
+        segments = [csr_to_cwell(A, plane_pad=plane_pad, group=group)]
         starts, widths, rstarts = [0], [m], [0]
     return CWELLSeg(segments, starts, widths, (n, m),
                     nnz=int(np.asarray(A.indptr)[-1]), rstarts=rstarts)
