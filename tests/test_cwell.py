@@ -416,3 +416,26 @@ def test_cwell_grouped_fill_inflation():
     W2 = csr_to_cwell(A, group=2)
     assert W2.planes % 8 == 0
     assert W2.planes / S1 <= 1.25, (S1, W2.planes)
+
+
+def test_cwell_grouped_pack_fuzz():
+    """Property fuzz across shapes/densities/quanta: pack -> CSR
+    roundtrip equality and oracle SpMV agreement (catches window/run
+    boundary edge cases: m < 256, empty row blocks, single window,
+    ragged tails)."""
+    rng = np.random.default_rng(99)
+    for trial in range(16):
+        n = int(rng.integers(1, 400))
+        m = int(rng.integers(1, 600))
+        density = float(rng.uniform(0.01, 0.4))
+        Q = int(rng.choice([1, 2, 4, 8]))
+        Ad = ((rng.random((n, m)) < density)
+              * rng.standard_normal((n, m))).astype(np.float32)
+        W = csr_to_cwell(dense_to_csr(Ad), group=Q)
+        np.testing.assert_allclose(
+            np.asarray(W.todense()), Ad, rtol=1e-6, atol=1e-6,
+            err_msg=f"trial={trial} n={n} m={m} Q={Q}")
+        x = rng.standard_normal(m).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(ref.cwell_spmv(W, jnp.asarray(x))), Ad @ x,
+            rtol=2e-4, atol=2e-4, err_msg=f"trial={trial} Q={Q}")
