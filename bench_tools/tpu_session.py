@@ -171,6 +171,30 @@ def main():
             print(f"spmm k=32 XLA: {W.nnz * 32 / dtx / 1e9:.2f} Gnnz/s "
                   f"-> pallas speedup {dtx/dt:.1f}x", flush=True)
 
+    # 1b) grouped SpMM: merged one-hots -> Q-fold fewer MXU matmuls
+    # (predicted ~4x at Q=8 on the 27-pt pack despite 1.8x inflation)
+    csr27b = to_csr(generators.poisson3d_27pt(64, dtype=np.float32))
+    for q in (4, 8):
+        with jax.default_device(cpu0):
+            Wq = csr_to_cwell(csr27b, group=q)
+        Wq = jax.device_put(Wq, jax.devices()[0])
+        for k in (32, 128):
+            B = jnp.asarray(rng.standard_normal((Wq.shape[1], k)).astype(
+                np.float32))
+            try:
+                if cwell_spmm_pallas(Wq, B) is None:
+                    print(f"spmm Q={q} k={k}: unavailable", flush=True)
+                    continue
+                dt = per_iter_time(
+                    lambda y: cwell_spmm_pallas(Wq, y) * scale, B,
+                    K1=2, K2=10)
+                print(f"spmm Q={q} k={k}: "
+                      f"{Wq.nnz * k / dt / 1e9:.1f} Gnnz/s", flush=True)
+            except Exception as e:
+                print(f"spmm Q={q} k={k} FAILED: {str(e)[:160]}",
+                      flush=True)
+    del csr27b
+
     # 2) bf16 CWELL SpMV
     Wb = W.with_data(W.vals.astype(jnp.bfloat16))
     y = cwell_spmv_pallas(Wb, v)

@@ -439,3 +439,40 @@ def test_cwell_grouped_pack_fuzz():
         np.testing.assert_allclose(
             np.asarray(ref.cwell_spmv(W, jnp.asarray(x))), Ad @ x,
             rtol=2e-4, atol=2e-4, err_msg=f"trial={trial} Q={Q}")
+
+
+@pytest.mark.parametrize("Q", [2, 4, 8])
+def test_cwell_grouped_spmm_pallas_interpret(Q):
+    """Grouped SpMM: the Q one-hot matrices of a run merge into one MXU
+    matmul (matmul is linear; columns within a run are distinct)."""
+    from tpu_sparse.kernels import pallas_cwell
+
+    A, _ = _random_csr(300, 260, 0.08, seed=13)
+    W = csr_to_cwell(A, group=Q)
+    rng = np.random.default_rng(13)
+    B = jnp.asarray(rng.standard_normal((260, 5)).astype(np.float32))
+    y_ref = np.asarray(ref.cwell_spmm(W, B))
+    pallas_cwell._INTERPRET = True
+    try:
+        Y = pallas_cwell.cwell_spmm_pallas(W, B)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert Y is not None
+    np.testing.assert_allclose(np.asarray(Y), y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cwell_grouped_spmm_stencil_wide_rhs():
+    from tpu_sparse.kernels import pallas_cwell
+
+    A = to_csr(generators.poisson3d_27pt(8, dtype=np.float32))
+    W = csr_to_cwell(A, group=4)
+    rng = np.random.default_rng(14)
+    B = jnp.asarray(rng.standard_normal((512, 17)).astype(np.float32))
+    y_ref = np.asarray(ref.cwell_spmm(W, B))
+    pallas_cwell._INTERPRET = True
+    try:
+        Y = pallas_cwell.cwell_spmm_pallas(W, B)
+    finally:
+        pallas_cwell._INTERPRET = False
+    assert Y is not None
+    np.testing.assert_allclose(np.asarray(Y), y_ref, rtol=1e-4, atol=1e-4)

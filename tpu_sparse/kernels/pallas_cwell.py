@@ -479,14 +479,53 @@ def _cwell_spmm_kernel(srow_ref, b2d_ref, vals_ref, idx2_ref, y_ref,
     lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "rb", "kt"))
-def _cwell_spmm_impl(vals, idx2, srow, B, *, shape, rb, kt):
+def _cwell_spmm_kernel_gq(srowq_ref, b2d_ref, vals_ref, idx2_ref, y_ref,
+                          *, RB, S, KT, Q):
+    """Grouped-plane SpMM: the Q planes of a run share one B window, and
+    because matmul is linear their one-hot matrices MERGE —
+    sum_q (P_q @ Bwin) = (sum_q P_q) @ Bwin — so the MXU matmul count
+    drops Q-fold (the 2/fill FLOP overhead was the kernel's bound) at the
+    cost of Q cheap VPU select-adds per run. Within a run a row's nonzero
+    columns are distinct, so the merged one-hot has no collisions."""
+    lax_ = jax.lax
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+    R = S // Q
+
+    col = lax_.broadcasted_iota(jnp.int32, (LW, 2 * LW), 1)
+
+    def t_body(t, carry):
+        rb, acc = carry
+        sr = srowq_ref[0, rb, t]
+        Bwin = b2d_ref[pl.ds(lax_.mul(sr, i32(LW)), 2 * LW), :]  # (256, KT)
+        P = jnp.zeros((LW, 2 * LW), jnp.float32)
+        base = lax_.mul(t, i32(Q))
+        for q in range(Q):
+            s = lax_.add(base, i32(q))
+            idx = idx2_ref[rb, s, :]            # (128,)
+            v = vals_ref[rb, s, :]
+            P = P + jnp.where(col == idx[:, None], v[:, None],
+                              jnp.zeros((), jnp.float32))
+        acc = acc + jnp.dot(P, Bwin, preferred_element_type=jnp.float32)
+        return rb, acc
+
+    def rb_body(rb, _):
+        acc = jnp.zeros((LW, KT), jnp.float32)
+        _, acc = lax_.fori_loop(0, R, t_body, (rb, acc), unroll=R)
+        y_ref[rb, :, :] = acc
+        return 0
+
+    lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "rb", "kt", "group"))
+def _cwell_spmm_impl(vals, idx2, srow, B, *, shape, rb, kt, group=1):
     with jax.enable_x64(False):
         return _cwell_spmm_inner(vals, idx2, srow, B, shape=shape, rb=rb,
-                                 kt=kt)
+                                 kt=kt, group=group)
 
 
-def _cwell_spmm_inner(vals, idx2, srow, B, *, shape, rb, kt):
+def _cwell_spmm_inner(vals, idx2, srow, B, *, shape, rb, kt, group=1):
+    grouped = group > 1
     nb, S, _ = vals.shape
     n, m = shape
     k = B.shape[1]
@@ -495,20 +534,25 @@ def _cwell_spmm_inner(vals, idx2, srow, B, *, shape, rb, kt):
     B2d = jnp.pad(B, ((0, m_pad - m), (0, k_pad - k)))
     grid_i = (nb + rb - 1) // rb
     nb_pad = grid_i * rb
+    if grouped:
+        srow = srow[:, ::group]  # per-run window row
     if nb_pad != nb:
         vals = jnp.pad(vals, ((0, nb_pad - nb), (0, 0), (0, 0)))
         idx2 = jnp.pad(idx2, ((0, nb_pad - nb), (0, 0), (0, 0)))
         srow = jnp.pad(srow, ((0, nb_pad - nb), (0, 0)))
-    srow3 = srow.reshape(grid_i, rb, S)
+    srow3 = srow.reshape(grid_i, rb, srow.shape[1])
     grid_j = k_pad // kt
 
-    kernel = functools.partial(_cwell_spmm_kernel, RB=rb, S=S, KT=kt)
+    kernel = (functools.partial(_cwell_spmm_kernel_gq, RB=rb, S=S, KT=kt,
+                                Q=group)
+              if grouped else
+              functools.partial(_cwell_spmm_kernel, RB=rb, S=S, KT=kt))
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb_pad, LW, k_pad), jnp.float32),
         grid=(grid_j, grid_i),  # j outer: B tile loads once per sweep
         in_specs=[
-            pl.BlockSpec((1, rb, S), lambda j, i: (i, 0, 0),
+            pl.BlockSpec((1, rb, srow.shape[1]), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m_pad // LW * LW, kt), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
@@ -554,11 +598,13 @@ def cwell_spmm_pallas(A: CWELL, B: jax.Array, rb: int | None = None):
     if m_pad * kt > _B_VMEM_ELEMS:
         return None
     kt = min(kt, max(8, ((k + 7) // 8) * 8))
-    if A.planes > 64:
+    group = getattr(A, "group", 1)
+    runs = A.planes // group  # MXU matmuls per block (merged per run)
+    if runs > 64:
         return None  # unrolled matmul chain gets too long
-    rb_eff = rb if rb is not None else (2 if A.planes > 16 else 4)
+    rb_eff = rb if rb is not None else (2 if runs > 16 else 4)
     return _cwell_spmm_impl(A.vals, A.idx2, A.srow, B, shape=A.shape,
-                            rb=rb_eff, kt=kt)
+                            rb=rb_eff, kt=kt, group=group)
 
 
 from tpu_sparse.utils.opcache import OperandCache  # noqa: E402
