@@ -193,6 +193,18 @@ def main():
             except Exception as e:
                 print(f"spmm Q={q} k={k} FAILED: {str(e)[:160]}",
                       flush=True)
+        # merged one-hot as SpMV (k=1): ungrouped slab-SpMV measured
+        # 2.3x slower than gathers; Q-fold merging may flip that
+        if q == 8:
+            try:
+                dt = per_iter_time(
+                    lambda z: cwell_spmm_pallas(Wq, z[:, None])[:, 0]
+                    * scale, v)
+                print(f"spmv-via-spmm Q=8: {Wq.nnz/dt/1e9:.1f} Gnnz/s",
+                      flush=True)
+            except Exception as e:
+                print(f"spmv-via-spmm Q=8 FAILED: {str(e)[:160]}",
+                      flush=True)
     del csr27b
 
     # 2) bf16 CWELL SpMV

@@ -196,3 +196,51 @@ def _run_ext_fast_path_grad_fd():
     gd = jax.grad(loss_d)(A.data)
     gd_fd = fd_grad(loss_d, A.data, eps=1e-2)
     np.testing.assert_allclose(np.asarray(gd), gd_fd, rtol=2e-2, atol=5e-3)
+
+
+def test_bicgstab_callable_pallas_explicit_transpose():
+    """A matrix-free operator containing a Pallas kernel cannot be
+    jaxpr-transposed; A_transpose= supplies the adjoint matvec explicitly
+    (the reference's own contract: re-supply At,
+    torch_sparse_linalg.py:1238-1248). FD-checks grad of b."""
+    from tpu_sparse.autodiff import bicgstab_diff
+    from tpu_sparse.kernels import pallas_cwell
+    from tpu_sparse.sparse import generators
+    from tpu_sparse.sparse.convert import to_csr
+    from tpu_sparse.sparse.cwell import csr_to_cwell
+
+    # nonsymmetric: shifted 27-pt stencil plus skew perturbation
+    import scipy.sparse as sp
+    n = 256
+    rng = np.random.default_rng(7)
+    T = sp.diags([np.full(n - 1, -1.0), np.full(n, 4.0),
+                  np.full(n - 1, -2.0)], [-1, 0, 1], format="csr",
+                 dtype=np.float32)
+    from tpu_sparse.sparse.convert import csr_from_arrays
+    A_csr = csr_from_arrays(T.data, T.indices, T.indptr, (n, n))
+    Tt = T.T.tocsr()
+    At_csr = csr_from_arrays(Tt.data, Tt.indices, Tt.indptr, (n, n))
+    W = csr_to_cwell(A_csr)
+    Wt = csr_to_cwell(At_csr)
+
+    pallas_cwell._INTERPRET = True
+    try:
+        A_fn = lambda v: pallas_cwell.cwell_spmv_pallas(W, v)   # noqa: E731
+        At_fn = lambda v: pallas_cwell.cwell_spmv_pallas(Wt, v)  # noqa: E731
+
+        b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        x, info, _, _ = bicgstab_diff(A_fn, b, tol=1e-6,
+                                      A_transpose=At_fn)
+        assert int(info) == 0
+
+        def loss(bb):
+            return jnp.sum(bicgstab_diff(A_fn, bb, tol=1e-8,
+                                         A_transpose=At_fn)[0] ** 2)
+
+        g = jax.grad(loss)(b)
+        e = jnp.zeros_like(b).at[3].set(1.0)
+        h = 1e-2
+        fd = (loss(b + h * e) - loss(b - h * e)) / (2 * h)
+        np.testing.assert_allclose(float(g[3]), float(fd), rtol=2e-2)
+    finally:
+        pallas_cwell._INTERPRET = False

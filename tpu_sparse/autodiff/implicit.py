@@ -220,13 +220,66 @@ def _callable_solve(method: str, opts: tuple, A_fn: Callable, b, x0, M):
     return x, info, jnp.array(-1, jnp.int32), res
 
 
-def _dispatch(method: str, A, b, x0, M, opts: tuple):
+def _callable_solve_explicit_T(method: str, opts: tuple, A_fn: Callable,
+                               At_fn: Callable, b, x0, M):
+    """Matrix-free path with a user-supplied adjoint matvec.
+
+    ``lax.custom_linear_solve`` derives the adjoint matvec by transposing
+    the forward matvec's jaxpr — which fails when A_fn contains an
+    untransposable op (a Pallas kernel, a host callback). Supplying
+    ``A_transpose`` sidesteps transposition entirely: backward runs ONE
+    adjoint solve ``Aᴴ v = x̄`` with the given matvec (the reference's own
+    contract: re-supply Aᵀ, torch_sparse_linalg.py:1238-1248). Gradients
+    flow w.r.t. b only — arrays A_fn closes over are treated as constants
+    (use a sparse container, or omit A_transpose, for ∂L/∂A).
+    """
+    solver = _SOLVERS[method]
+    kw = dict(opts)
+
+    @jax.custom_vjp
+    def run(bb):
+        return solver(A_fn, bb, x0, M=M, **kw)[0]
+
+    def fwd(bb):
+        return run(bb), None
+
+    def bwd(_, xbar):
+        v = solver(At_fn, xbar, None, M=None, **kw)[0]
+        return (v,)
+
+    run.defvjp(fwd, bwd)
+    x = run(b)
+    from tpu_sparse.utils.tree import tree_map, tree_norm, tree_sub
+
+    # stats are reports, not differentiable outputs: stop_gradient keeps
+    # the extra A_fn application (a Pallas kernel with no JVP rule) off
+    # the autodiff path
+    xs = tree_map(lax.stop_gradient, x)
+    bs = tree_map(lax.stop_gradient, b)
+    res = tree_norm(tree_sub(bs, A_fn(xs)))
+    b_norm = tree_norm(bs)
+    tol = kw.get("tol", 1e-5)
+    atol = kw.get("atol", 0.0)
+    from tpu_sparse.solvers.krylov import _final_check_relax, _float_dtype
+
+    relax = _final_check_relax(jnp.finfo(_float_dtype(b)).dtype)
+    thresh = jnp.maximum(tol * b_norm, atol) * relax
+    failed = (~jnp.isfinite(tree_norm(x))) | (~jnp.isfinite(res)) \
+        | (res > thresh)
+    info = jnp.where(failed, -1, 0).astype(jnp.int32)
+    return x, info, jnp.array(-1, jnp.int32), res
+
+
+def _dispatch(method: str, A, b, x0, M, opts: tuple, A_transpose=None):
     if callable(M) and not is_sparse(M) and not isinstance(M, Partial):
         # Plain callables are not pytrees; wrap so M can ride through
         # custom_vjp as an argument. Closures over traced arrays should use
         # jax.tree_util.Partial(f, arrays) so the arrays are leaves.
         M = Partial(M)
     if callable(A) and not is_sparse(A) and not hasattr(A, "ndim"):
+        if A_transpose is not None:
+            return _callable_solve_explicit_T(method, opts, A, A_transpose,
+                                              b, x0, M)
         return _callable_solve(method, opts, A, b, x0, M)
     return _implicit_matrix_solve(method, opts, A, b, x0, M)
 
@@ -267,24 +320,38 @@ def minres_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
 
 
 def fgmres_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
-                restart: int = 20, maxiter: Optional[int] = None, M=None):
-    """Flexible GMRES with implicit-diff adjoint (adjoint on Aᴴ, no M)."""
+                restart: int = 20, maxiter: Optional[int] = None, M=None,
+                A_transpose=None):
+    """Flexible GMRES with implicit-diff adjoint (adjoint on Aᴴ, no M).
+
+    A_transpose: explicit adjoint matvec for matrix-free A whose forward
+    matvec cannot be jaxpr-transposed (Pallas kernels, host callbacks).
+    """
     opts = (("tol", tol), ("atol", atol), ("restart", restart),
             ("maxiter", maxiter))
-    return _dispatch("fgmres", A, b, x0, M, opts)
+    return _dispatch("fgmres", A, b, x0, M, opts, A_transpose=A_transpose)
 
 
 def bicgstab_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
-                  maxiter: Optional[int] = None, M=None):
-    """BiCGStab with implicit-diff adjoint (adjoint solve on Aᴴ)."""
+                  maxiter: Optional[int] = None, M=None, A_transpose=None):
+    """BiCGStab with implicit-diff adjoint (adjoint solve on Aᴴ).
+
+    A_transpose: explicit adjoint matvec for matrix-free A whose forward
+    matvec cannot be jaxpr-transposed (Pallas kernels, host callbacks);
+    see _callable_solve_explicit_T.
+    """
     opts = (("tol", tol), ("atol", atol), ("maxiter", maxiter))
-    return _dispatch("bicgstab", A, b, x0, M, opts)
+    return _dispatch("bicgstab", A, b, x0, M, opts, A_transpose=A_transpose)
 
 
 def gmres_diff(A, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
                restart: int = 20, maxiter: Optional[int] = None, M=None,
-               solve_method: str = "batched"):
-    """GMRES with implicit-diff adjoint (adjoint solve on Aᴴ)."""
+               solve_method: str = "batched", A_transpose=None):
+    """GMRES with implicit-diff adjoint (adjoint solve on Aᴴ).
+
+    A_transpose: explicit adjoint matvec for matrix-free A whose forward
+    matvec cannot be jaxpr-transposed (Pallas kernels, host callbacks).
+    """
     opts = (("tol", tol), ("atol", atol), ("restart", restart),
             ("maxiter", maxiter), ("solve_method", solve_method))
-    return _dispatch("gmres", A, b, x0, M, opts)
+    return _dispatch("gmres", A, b, x0, M, opts, A_transpose=A_transpose)
