@@ -293,3 +293,46 @@ def test_batch_safe_matvec_spmm_route():
     Y = jax.vmap(mv, in_axes=-1, out_axes=-1)(X)
     np.testing.assert_allclose(np.asarray(Y), Ad @ np.asarray(X),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_solve_reorder_rcm_scrambled_poisson():
+    """reorder='rcm' must recover the original-ordering solution of a
+    locality-destroyed system (and build M from the permuted matrix)."""
+    from tpu_sparse.sparse import generators
+    from tpu_sparse.sparse.convert import dense_to_csr
+
+    rng = np.random.default_rng(55)
+    A0 = generators.poisson2d(20)          # n=400
+    n = A0.shape[0]
+    Ad = np.asarray(A0.todense())
+    perm = rng.permutation(n)
+    As = dense_to_csr(Ad[np.ix_(perm, perm)])  # scrambled SPD system
+    x_true = rng.standard_normal(n)
+    b = jnp.asarray(As.todense() @ x_true)
+
+    s = SparseSolver()
+    x, r = s.solve(As, b, method="cg", tol=1e-10, reorder="rcm")
+    assert r.converged
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-6)
+    # string preconditioner rides the permuted matrix
+    x, r = s.solve(As, b, method="cg", tol=1e-10, M="jacobi",
+                   reorder="rcm")
+    assert r.converged
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-6, atol=1e-6)
+    # multi-RHS path
+    Xt = rng.standard_normal((n, 3))
+    B = jnp.asarray(As.todense() @ Xt)
+    X, r = s.solve(As, B, method="cg", tol=1e-10, reorder="rcm")
+    assert r.converged
+    np.testing.assert_allclose(np.asarray(X), Xt, rtol=1e-5, atol=1e-5)
+
+
+def test_solve_reorder_rejects_callables_and_callable_M(spd):
+    A, b = spd
+    s = SparseSolver()
+    with pytest.raises(ValueError, match="matrix operand"):
+        s.solve(lambda v: v, b, method="cg", reorder="rcm")
+    with pytest.raises(ValueError, match="wrong ordering"):
+        s.solve(A, b, method="cg", M=lambda v: v, reorder="rcm")
+    with pytest.raises(ValueError, match="unknown reorder"):
+        s.solve(A, b, method="cg", reorder="amd")

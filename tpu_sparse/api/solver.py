@@ -135,6 +135,7 @@ class SparseSolver:
               atol: float = 0.0, maxiter: Optional[int] = None,
               M: Optional[Any] = None, restart: int = 20,
               solve_method: str = "batched", precision: str = "full",
+              reorder: Optional[str] = None,
               **kwargs) -> Tuple[jax.Array, SolverResult]:
         """Solve Ax = b. Returns (x, SolverResult).
 
@@ -145,10 +146,22 @@ class SparseSolver:
         M: a preconditioner callable, or one of the built-in names
         'jacobi' | 'fsai' | 'fsai2' | 'chebyshev' | 'neumann' | 'ilu0' |
         'amg' — built once per matrix content and cached.
+
+        reorder: 'rcm' symmetrically permutes the system with a
+        reverse-Cuthill-McKee ordering (host-side, cached per matrix
+        content) before solving and un-permutes the solution — bandwidth/
+        column-locality reduction that lets unstructured matrices pack
+        into the Pallas CWELL fast path at high fill (see
+        sparse/cwell.py). Requires a concrete matrix operand.
         """
         if precision not in ("full", "mixed"):
             raise ValueError(
                 f"unknown precision '{precision}'; use 'full' or 'mixed'")
+        if reorder is not None:
+            return self._solve_reordered(
+                A, b, x0, reorder, method=method, backend=backend, tol=tol,
+                atol=atol, maxiter=maxiter, M=M, restart=restart,
+                solve_method=solve_method, precision=precision, **kwargs)
         if hasattr(A, "shape") and hasattr(b, "shape") and b.ndim >= 1 \
                 and b.shape[0] != A.shape[0]:
             raise ValueError(
@@ -208,6 +221,58 @@ class SparseSolver:
             residual=float(rel_v), backend=sel_backend, method=sel_method,
         )
         return x, result
+
+    def _reorder_cached(self, A):
+        """(A_rcm_csr, perm, invperm) for a concrete matrix operand,
+        cached per matrix content."""
+        from tpu_sparse.utils.opcache import OperandCache
+
+        cached = getattr(self, "_reorder_cache", None)
+        if cached is None:
+            cached = self._reorder_cache = OperandCache(max_entries=8)
+
+        def build():
+            import numpy as np
+            import scipy.sparse as sp
+
+            from tpu_sparse.sparse.convert import csr_from_arrays, to_csr
+            from tpu_sparse.sparse.cwell import rcm_permutation
+
+            Ac = to_csr(A)
+            perm = rcm_permutation(Ac)
+            S = sp.csr_matrix(
+                (np.asarray(Ac.data), np.asarray(Ac.indices),
+                 np.asarray(Ac.indptr)), shape=Ac.shape)
+            Sp = S[perm][:, perm].tocsr()
+            Sp.sort_indices()
+            Ap = csr_from_arrays(Sp.data, Sp.indices, Sp.indptr, Ac.shape)
+            inv = np.argsort(perm)
+            return Ap, jnp.asarray(perm), jnp.asarray(inv)
+
+        return cached.get_or_build(A, build, extra=("rcm",))
+
+    def _solve_reordered(self, A, b, x0, reorder: str, *, M=None, **kw):
+        """Symmetric RCM permutation wrapper: solve P A Pᵀ (P x) = P b and
+        un-permute (see solve() docstring)."""
+        if reorder != "rcm":
+            raise ValueError(f"unknown reorder '{reorder}'; use 'rcm'")
+        if callable(A) and not is_sparse(A) and not hasattr(A, "ndim"):
+            raise ValueError("reorder requires a matrix operand, not a "
+                             "matrix-free callable")
+        if isinstance(M, str) is False and M is not None:
+            raise ValueError(
+                "reorder supports M=None or a built-in string name (the "
+                "preconditioner is then built from the permuted matrix); a "
+                "user callable M would act in the wrong ordering")
+        Ap, perm, inv = self._reorder_cached(A)
+        take = lambda v, p: v[p] if v.ndim == 1 else v[p, :]  # noqa: E731
+        bp = take(b, perm)
+        x0p = None if x0 is None else take(x0, perm)
+        x, result = self.solve(Ap, bp, x0p, M=M, reorder=None, **kw)
+        xu = take(x, inv)
+        from dataclasses import replace as _dc_replace
+
+        return xu, _dc_replace(result, x=xu)
 
     def _relative_residual(self, A, b, x) -> float:
         try:
