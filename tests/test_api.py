@@ -336,3 +336,12 @@ def test_solve_reorder_rejects_callables_and_callable_M(spd):
         s.solve(A, b, method="cg", M=lambda v: v, reorder="rcm")
     with pytest.raises(ValueError, match="unknown reorder"):
         s.solve(A, b, method="cg", reorder="amd")
+
+
+def test_solve_reorder_rejects_wrong_length_b(spd):
+    """Dimension validation must fire before the permutation gather
+    (review finding: clamping gather silently accepted short b)."""
+    A, b = spd
+    s = SparseSolver()
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        s.solve(A, b[:-5], method="cg", reorder="rcm")

@@ -482,3 +482,24 @@ def test_cg_sr_router_and_grad():
     h = 1e-6
     fd = (loss(b + h * e) - loss(b - h * e)) / (2 * h)
     np.testing.assert_allclose(float(g[5]), float(fd), rtol=1e-4)
+
+
+def test_cg_sr_maxiter_semantics():
+    """maxiter=0 must return x0 unchanged; maxiter=k runs exactly k
+    x-updates (review finding: the old trailing half-step broke this)."""
+    from tpu_sparse.solvers import cg_sr_full
+    from tpu_sparse.sparse import generators
+
+    A = generators.poisson2d(8)
+    n = A.shape[0]
+    rng = np.random.default_rng(35)
+    b = jnp.asarray(rng.standard_normal(n))
+    x0 = jnp.asarray(rng.standard_normal(n))
+    x, info, k, res = cg_sr_full(A, b, x0, tol=1e-10, maxiter=0)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x0))
+    assert int(k) == 0 and int(info) == -1
+    # a converged x0 must come back bit-identical
+    xs, _, _, _ = cg_sr_full(A, b, tol=1e-12, maxiter=1000)
+    x2, info2, k2, _ = cg_sr_full(A, b, xs, tol=1e-6)
+    assert int(k2) == 0
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(xs))

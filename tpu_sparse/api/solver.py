@@ -157,16 +157,18 @@ class SparseSolver:
         if precision not in ("full", "mixed"):
             raise ValueError(
                 f"unknown precision '{precision}'; use 'full' or 'mixed'")
+        if hasattr(A, "shape") and hasattr(b, "shape") and b.ndim >= 1 \
+                and b.shape[0] != A.shape[0]:
+            # must precede the reorder dispatch: JAX's clamping gather
+            # would let b[perm] silently accept a wrong-length b
+            raise ValueError(
+                f"dimension mismatch: A is {A.shape}, b has length "
+                f"{b.shape[0]}")
         if reorder is not None:
             return self._solve_reordered(
                 A, b, x0, reorder, method=method, backend=backend, tol=tol,
                 atol=atol, maxiter=maxiter, M=M, restart=restart,
                 solve_method=solve_method, precision=precision, **kwargs)
-        if hasattr(A, "shape") and hasattr(b, "shape") and b.ndim >= 1 \
-                and b.shape[0] != A.shape[0]:
-            raise ValueError(
-                f"dimension mismatch: A is {A.shape}, b has length "
-                f"{b.shape[0]}")
         method = method or self.default_method
         backend = backend or self.default_backend
         sel_backend, sel_method = self._select_backend(backend, method)
@@ -234,15 +236,18 @@ class SparseSolver:
         def build():
             import numpy as np
             import scipy.sparse as sp
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
 
             from tpu_sparse.sparse.convert import csr_from_arrays, to_csr
-            from tpu_sparse.sparse.cwell import rcm_permutation
 
             Ac = to_csr(A)
-            perm = rcm_permutation(Ac)
+            # one scipy materialization serves both the RCM ordering and
+            # the permutation (rcm_permutation would rebuild it)
             S = sp.csr_matrix(
                 (np.asarray(Ac.data), np.asarray(Ac.indices),
                  np.asarray(Ac.indptr)), shape=Ac.shape)
+            perm = np.asarray(reverse_cuthill_mckee(S,
+                                                    symmetric_mode=False))
             Sp = S[perm][:, perm].tocsr()
             Sp.sort_indices()
             Ap = csr_from_arrays(Sp.data, Sp.indices, Sp.indptr, Ac.shape)

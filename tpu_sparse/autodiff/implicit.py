@@ -189,6 +189,30 @@ def _eks_bwd(method, opts, residuals, cotangents):
 ext_krylov_diff.defvjp(_eks_fwd, _eks_bwd)
 
 
+def _final_stats(A_fn, b, x, kw):
+    """(info, iters=-1, res) for the matrix-free paths: recompute the true
+    residual and apply the cg_full-style final check. stop_gradient keeps
+    the extra A_fn application (possibly a Pallas kernel with no JVP rule)
+    off the autodiff path — stats are reports, not differentiable
+    outputs."""
+    from tpu_sparse.utils.tree import tree_map, tree_norm, tree_sub
+
+    xs = tree_map(lax.stop_gradient, x)
+    bs = tree_map(lax.stop_gradient, b)
+    res = tree_norm(tree_sub(bs, A_fn(xs)))
+    b_norm = tree_norm(bs)
+    tol = kw.get("tol", 1e-5)
+    atol = kw.get("atol", 0.0)
+    from tpu_sparse.solvers.krylov import _final_check_relax, _float_dtype
+
+    relax = _final_check_relax(jnp.finfo(_float_dtype(bs)).dtype)
+    thresh = jnp.maximum(tol * b_norm, atol) * relax
+    failed = (~jnp.isfinite(tree_norm(xs))) | (~jnp.isfinite(res)) \
+        | (res > thresh)
+    info = jnp.where(failed, -1, 0).astype(jnp.int32)
+    return info, jnp.array(-1, jnp.int32), res
+
+
 def _callable_solve(method: str, opts: tuple, A_fn: Callable, b, x0, M):
     """Matrix-free path via lax.custom_linear_solve: implicit diff with
     gradients w.r.t. b and anything A_fn closes over."""
@@ -205,19 +229,8 @@ def _callable_solve(method: str, opts: tuple, A_fn: Callable, b, x0, M):
     x = lax.custom_linear_solve(A_fn, b, solve, transpose_solve=tr_solve,
                                 symmetric=symmetric)
     # Stats recomputed outside the implicit wrapper (one extra matvec).
-    from tpu_sparse.utils.tree import tree_norm, tree_sub
-
-    res = tree_norm(tree_sub(b, A_fn(x)))
-    b_norm = tree_norm(b)
-    tol = kw.get("tol", 1e-5)
-    atol = kw.get("atol", 0.0)
-    from tpu_sparse.solvers.krylov import _final_check_relax, _float_dtype
-
-    relax = _final_check_relax(jnp.finfo(_float_dtype(b)).dtype)
-    thresh = jnp.maximum(tol * b_norm, atol) * relax
-    failed = (~jnp.isfinite(tree_norm(x))) | (~jnp.isfinite(res)) | (res > thresh)
-    info = jnp.where(failed, -1, 0).astype(jnp.int32)
-    return x, info, jnp.array(-1, jnp.int32), res
+    info, iters, res = _final_stats(A_fn, b, x, kw)
+    return x, info, iters, res
 
 
 def _callable_solve_explicit_T(method: str, opts: tuple, A_fn: Callable,
@@ -249,25 +262,8 @@ def _callable_solve_explicit_T(method: str, opts: tuple, A_fn: Callable,
 
     run.defvjp(fwd, bwd)
     x = run(b)
-    from tpu_sparse.utils.tree import tree_map, tree_norm, tree_sub
-
-    # stats are reports, not differentiable outputs: stop_gradient keeps
-    # the extra A_fn application (a Pallas kernel with no JVP rule) off
-    # the autodiff path
-    xs = tree_map(lax.stop_gradient, x)
-    bs = tree_map(lax.stop_gradient, b)
-    res = tree_norm(tree_sub(bs, A_fn(xs)))
-    b_norm = tree_norm(bs)
-    tol = kw.get("tol", 1e-5)
-    atol = kw.get("atol", 0.0)
-    from tpu_sparse.solvers.krylov import _final_check_relax, _float_dtype
-
-    relax = _final_check_relax(jnp.finfo(_float_dtype(b)).dtype)
-    thresh = jnp.maximum(tol * b_norm, atol) * relax
-    failed = (~jnp.isfinite(tree_norm(x))) | (~jnp.isfinite(res)) \
-        | (res > thresh)
-    info = jnp.where(failed, -1, 0).astype(jnp.int32)
-    return x, info, jnp.array(-1, jnp.int32), res
+    info, iters, res = _final_stats(A_fn, b, x, kw)
+    return x, info, iters, res
 
 
 def _dispatch(method: str, A, b, x0, M, opts: tuple, A_transpose=None):

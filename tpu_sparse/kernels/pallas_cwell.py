@@ -88,6 +88,32 @@ def _cwell_kernel(srow_ref, x2d_ref, vals_ref, idx2_ref, y_ref, xw,
     lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
 
 
+def _gq_window_sources(srowq_ref, rb, g, refs, Q):
+    """(8, LW) lo/hi gather sources for group ``g`` of row block ``rb``,
+    for EVERY ref in ``refs``, reading each of the group's J = 8//Q run
+    srow scalars exactly once (shared by the f32 and DF grouped kernels;
+    the DF kernel indexes xh2d and xl2d from the same reads)."""
+    lax_ = jax.lax
+    i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
+    J = 8 // Q
+    lo = [[] for _ in refs]
+    hi = [[] for _ in refs]
+    for j in range(J):
+        r = srowq_ref[0, rb, lax_.add(lax_.mul(g, i32(J)), i32(j))]
+        rp1 = lax_.add(r, i32(1))
+        for i, ref in enumerate(refs):
+            lo[i].append(jnp.broadcast_to(ref[r, :][None, :], (Q, LW)))
+            hi[i].append(jnp.broadcast_to(ref[rp1, :][None, :], (Q, LW)))
+    out = []
+    for i in range(len(refs)):
+        if J == 1:
+            out.append((lo[i][0], hi[i][0]))
+        else:
+            out.append((jnp.concatenate(lo[i], axis=0),
+                        jnp.concatenate(hi[i], axis=0)))
+    return out
+
+
 def _cwell_kernel_gq(srowq_ref, x2d_ref, vals_ref, idx2_ref, y_ref,
                      *, RB, S, Q):
     """Grouped-plane variant: every aligned run of Q planes shares one
@@ -97,25 +123,11 @@ def _cwell_kernel_gq(srowq_ref, x2d_ref, vals_ref, idx2_ref, y_ref,
     lax_ = jax.lax
     i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
     G = S // 8
-    J = 8 // Q  # window runs per 8-plane group
-
-    def _window_pair(rb, g, base2d_ref):
-        """(8, LW) lo/hi gather sources for group g: J broadcast runs."""
-        lo_parts, hi_parts = [], []
-        for j in range(J):
-            r = srowq_ref[0, rb, lax_.add(lax_.mul(g, i32(J)), i32(j))]
-            lo_parts.append(jnp.broadcast_to(
-                base2d_ref[r, :][None, :], (Q, LW)))
-            hi_parts.append(jnp.broadcast_to(
-                base2d_ref[lax_.add(r, i32(1)), :][None, :], (Q, LW)))
-        if J == 1:
-            return lo_parts[0], hi_parts[0]
-        return (jnp.concatenate(lo_parts, axis=0),
-                jnp.concatenate(hi_parts, axis=0))
 
     def g_body(g, carry):
         rb, acc = carry
-        lo_src, hi_src = _window_pair(rb, g, x2d_ref)
+        ((lo_src, hi_src),) = _gq_window_sources(srowq_ref, rb, g,
+                                                 [x2d_ref], Q)
         idx = idx2_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
         lo = jnp.take_along_axis(lo_src, jnp.minimum(idx, 127), axis=1)
         hi = jnp.take_along_axis(hi_src, jnp.clip(idx - 128, 0, 127),
@@ -314,25 +326,11 @@ def _cwell_kernel_df_gq(srowq_ref, xh2d_ref, xl2d_ref, valsh_ref,
     lax_ = jax.lax
     i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
     G = S // 8
-    J = 8 // Q
-
-    def _window_pair(rb, g, base2d_ref):
-        lo_parts, hi_parts = [], []
-        for j in range(J):
-            r = srowq_ref[0, rb, lax_.add(lax_.mul(g, i32(J)), i32(j))]
-            lo_parts.append(jnp.broadcast_to(
-                base2d_ref[r, :][None, :], (Q, LW)))
-            hi_parts.append(jnp.broadcast_to(
-                base2d_ref[lax_.add(r, i32(1)), :][None, :], (Q, LW)))
-        if J == 1:
-            return lo_parts[0], hi_parts[0]
-        return (jnp.concatenate(lo_parts, axis=0),
-                jnp.concatenate(hi_parts, axis=0))
 
     def g_body(g, carry):
         rb, s_acc, c_acc = carry
-        xh_lo, xh_hi = _window_pair(rb, g, xh2d_ref)
-        xl_lo, xl_hi = _window_pair(rb, g, xl2d_ref)
+        (xh_lo, xh_hi), (xl_lo, xl_hi) = _gq_window_sources(
+            srowq_ref, rb, g, [xh2d_ref, xl2d_ref], Q)
         idx = idx2_ref[rb, pl.ds(lax_.mul(g, i32(8)), 8), :]
         il = jnp.minimum(idx, 127)
         ih = jnp.clip(idx - 128, 0, 127)
@@ -599,6 +597,8 @@ def cwell_spmm_pallas(A: CWELL, B: jax.Array, rb: int | None = None):
         return None
     kt = min(kt, max(8, ((k + 7) // 8) * 8))
     group = getattr(A, "group", 1)
+    if group > 1 and A.planes % group != 0:
+        return None  # run loop would silently drop trailing planes
     runs = A.planes // group  # MXU matmuls per block (merged per run)
     if runs > 64:
         return None  # unrolled matmul chain gets too long

@@ -102,11 +102,12 @@ def _cg_sr_loop(A: Callable, M: Callable, b, x0, atol2, maxiter: int,
 
     init = _SRCGState(x0, r0, u0, w0, gamma0, alpha0, rr0,
                       jnp.array(0, jnp.int32))
+    # Each body applies the PREVIOUS alpha (alpha_k lives one state ahead
+    # of x_k, computed in init for k=0), so on exit final.x is exactly the
+    # iterate whose rr passed the stopping rule — no trailing update
+    # (maxiter=0 returns x0 unchanged, matching cg_full).
     final = lax.while_loop(cond, body, init)
-    # the loop updates x/r at the TOP of the body, so apply the final
-    # half-step the last body never got to
-    x = tree_axpy(final.alpha.astype(dtype), final.p, final.x)
-    return x, final.k
+    return final.x, final.k
 
 
 def cg_sr_full(A: Operator, b: Any, x0: Optional[Any] = None, *,

@@ -182,6 +182,11 @@ def csr_to_cwell(A: CSR, *, plane_pad: int = 8,
     """
     if group not in (1, 2, 4, 8):
         raise ValueError("group quantum must be 1, 2, 4, or 8")
+    if group > 1 and plane_pad % 8 != 0:
+        # S % 8 == 0 (and hence S % group == 0) is what the grouped
+        # kernels' run loops rely on; an unaligned plane_pad would
+        # silently drop trailing planes there
+        raise ValueError("grouped packing requires plane_pad % 8 == 0")
     group8 = group > 1  # any quantum pads runs; naming kept for brevity
     indptr = np.asarray(A.indptr, dtype=np.int64)
     cols = np.asarray(A.indices, dtype=np.int64)
