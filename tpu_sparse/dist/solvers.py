@@ -51,8 +51,8 @@ def _check_precond_divisible(n: int, mesh: Mesh, M, unit: int = 1) -> None:
             f"dimension")
 
 
-def distributed_matvec_op(A, mesh: Mesh, mode: str = "gspmd"):
-    """Shard A and return (A_sharded, matvec) for the chosen mode.
+def _shard_and_resolve(A, mesh: Mesh, mode: str):
+    """Shard A over the mesh and resolve the effective SpMV mode.
 
     DIA (stencil/banded) operators support all three modes; mode='halo'
     automatically degrades to 'allgather' when the stencil bandwidth
@@ -60,27 +60,48 @@ def distributed_matvec_op(A, mesh: Mesh, mode: str = "gspmd"):
     remote columns there). General-structure operators (CSR/COO/BSR/
     CWELL/...) row-shard as CWELL blocks and always use the all_gather
     SpMV (no bandwidth assumption) regardless of the requested mode."""
-    from tpu_sparse.dist.spmv import make_allgather_spmv
-
     if not isinstance(A, DIA):
         from tpu_sparse.dist.partition import shard_general
-        from tpu_sparse.dist.spmv import make_cwell_allgather_spmv
 
-        W_sh = shard_general(A, mesh)
-        return W_sh, make_cwell_allgather_spmv(W_sh, mesh)
-
+        return shard_general(A, mesh), "cwell_allgather"
     A_sh = shard_dia(A, mesh)
     if mode == "halo" and A_sh.bandwidth > A_sh.shape[0] // mesh.devices.size:
         mode = "allgather"
-    if mode == "halo":
-        return A_sh, make_halo_spmv(A_sh, mesh)
-    if mode == "allgather":
-        return A_sh, make_allgather_spmv(A_sh, mesh)
-    if mode == "gspmd":
-        from tpu_sparse.kernels import reference as kref
+    if mode not in ("halo", "allgather", "gspmd"):
+        raise ValueError(f"unknown mode: {mode}")
+    return A_sh, mode
 
-        return A_sh, lambda x: kref.dia_spmv_padded(A_sh, x)
-    raise ValueError(f"unknown mode: {mode}")
+
+def _matvec_builder(A_sh, mesh: Mesh, mode: str) -> Callable:
+    """x ↦ A_sh @ x for an already-sharded operator and resolved mode.
+
+    Multi-host rule: call this INSIDE jit with A_sh passed as a jit
+    argument — a jitted function may not close over arrays whose shards
+    live on other processes' devices (they become lowering-time
+    constants). Eager/single-process callers may also use it directly."""
+    if mode == "cwell_allgather":
+        from tpu_sparse.dist.spmv import make_cwell_allgather_spmv
+
+        return make_cwell_allgather_spmv(A_sh, mesh)
+    if mode == "halo":
+        return make_halo_spmv(A_sh, mesh)
+    if mode == "allgather":
+        from tpu_sparse.dist.spmv import make_allgather_spmv
+
+        return make_allgather_spmv(A_sh, mesh)
+    from tpu_sparse.kernels import reference as kref
+
+    return lambda x: kref.dia_spmv_padded(A_sh, x)
+
+
+def distributed_matvec_op(A, mesh: Mesh, mode: str = "gspmd"):
+    """Shard A and return (A_sharded, matvec) for the chosen mode (see
+    _shard_and_resolve for mode semantics). The returned matvec closes
+    over the sharded operator — fine single-process; multi-host jit
+    callers should pass A_sharded as an argument and rebuild via
+    _matvec_builder instead (as the distributed_* solvers here do)."""
+    A_sh, mode = _shard_and_resolve(A, mesh, mode)
+    return A_sh, _matvec_builder(A_sh, mesh, mode)
 
 
 def distributed_cg(A, b: jax.Array, x0: Optional[jax.Array] = None, *,
@@ -105,7 +126,7 @@ def distributed_cg(A, b: jax.Array, x0: Optional[jax.Array] = None, *,
     n_orig = b.shape[0]
     unit = _vector_unit(A)
     _check_precond_divisible(n_orig, mesh, M, unit)
-    A_sh, matvec = distributed_matvec_op(A, mesh, mode)
+    A_sh, rmode = _shard_and_resolve(A, mesh, mode)
     b_sh = shard_vector(b, mesh, unit)
     x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
     solver = cg_full
@@ -114,12 +135,13 @@ def distributed_cg(A, b: jax.Array, x0: Optional[jax.Array] = None, *,
 
         solver = cg_sr_full
 
+    # A_sh rides as a jit ARGUMENT: multi-host shards are not closable
     @partial(jax.jit, static_argnums=())
-    def _run(bb, xx0):
-        return solver(matvec, bb, xx0, tol=tol, atol=atol, maxiter=maxiter,
-                      M=M)
+    def _run(aa, bb, xx0):
+        return solver(_matvec_builder(aa, mesh, rmode), bb, xx0, tol=tol,
+                      atol=atol, maxiter=maxiter, M=M)
 
-    x, info, iters, res = _run(b_sh, x0_sh)
+    x, info, iters, res = _run(A_sh, b_sh, x0_sh)
     return x[:n_orig], info, iters, res
 
 
@@ -134,16 +156,16 @@ def distributed_bicgstab(A, b: jax.Array,
     n_orig = b.shape[0]
     unit = _vector_unit(A)
     _check_precond_divisible(n_orig, mesh, M, unit)
-    A_sh, matvec = distributed_matvec_op(A, mesh, mode)
+    A_sh, rmode = _shard_and_resolve(A, mesh, mode)
     b_sh = shard_vector(b, mesh, unit)
     x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
 
     @jax.jit
-    def _run(bb, xx0):
-        return bicgstab_full(matvec, bb, xx0, tol=tol, atol=atol,
-                             maxiter=maxiter, M=M)
+    def _run(aa, bb, xx0):
+        return bicgstab_full(_matvec_builder(aa, mesh, rmode), bb, xx0,
+                             tol=tol, atol=atol, maxiter=maxiter, M=M)
 
-    x, info, iters, res = _run(b_sh, x0_sh)
+    x, info, iters, res = _run(A_sh, b_sh, x0_sh)
     return x[:n_orig], info, iters, res
 
 
@@ -163,17 +185,17 @@ def distributed_gmres(A, b: jax.Array, x0: Optional[jax.Array] = None,
     n_orig = b.shape[0]
     unit = _vector_unit(A)
     _check_precond_divisible(n_orig, mesh, M, unit)
-    A_sh, matvec = distributed_matvec_op(A, mesh, mode)
+    A_sh, rmode = _shard_and_resolve(A, mesh, mode)
     b_sh = shard_vector(b, mesh, unit)
     x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
 
     @jax.jit
-    def _run(bb, xx0):
-        return gmres_full(matvec, bb, xx0, tol=tol, atol=atol,
-                          restart=restart, maxiter=maxiter, M=M,
-                          solve_method=solve_method)
+    def _run(aa, bb, xx0):
+        return gmres_full(_matvec_builder(aa, mesh, rmode), bb, xx0,
+                          tol=tol, atol=atol, restart=restart,
+                          maxiter=maxiter, M=M, solve_method=solve_method)
 
-    x, info, iters, res = _run(b_sh, x0_sh)
+    x, info, iters, res = _run(A_sh, b_sh, x0_sh)
     return x[:n_orig], info, iters, res
 
 
@@ -196,7 +218,7 @@ def distributed_block_cg(A, B: jax.Array, X0: Optional[jax.Array] = None,
     n_orig = B.shape[0]
     unit = _vector_unit(A)
     _check_precond_divisible(n_orig, mesh, M, unit)
-    A_sh, matvec = distributed_matvec_op(A, mesh, mode)
+    A_sh, rmode = _shard_and_resolve(A, mesh, mode)
     n_dev = mesh.devices.size
 
     def shard_rows(V):
@@ -209,11 +231,11 @@ def distributed_block_cg(A, B: jax.Array, X0: Optional[jax.Array] = None,
     X0_sh = shard_rows(X0) if X0 is not None else None
 
     @jax.jit
-    def _run(BB, XX0):
-        return block_cg(matvec, BB, XX0, tol=tol, atol=atol,
-                        maxiter=maxiter, M=M)
+    def _run(aa, BB, XX0):
+        return block_cg(_matvec_builder(aa, mesh, rmode), BB, XX0,
+                        tol=tol, atol=atol, maxiter=maxiter, M=M)
 
-    X, infos, iters, res = _run(B_sh, X0_sh)
+    X, infos, iters, res = _run(A_sh, B_sh, X0_sh)
     return X[:n_orig], infos, iters, res
 
 
@@ -232,14 +254,14 @@ def distributed_minres(A, b: jax.Array, x0: Optional[jax.Array] = None,
     n_orig = b.shape[0]
     unit = _vector_unit(A)
     _check_precond_divisible(n_orig, mesh, M, unit)
-    A_sh, matvec = distributed_matvec_op(A, mesh, mode)
+    A_sh, rmode = _shard_and_resolve(A, mesh, mode)
     b_sh = shard_vector(b, mesh, unit)
     x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
 
     @jax.jit
-    def _run(bb, xx0):
-        return minres_full(matvec, bb, xx0, tol=tol, atol=atol,
-                           maxiter=maxiter, M=M)
+    def _run(aa, bb, xx0):
+        return minres_full(_matvec_builder(aa, mesh, rmode), bb, xx0,
+                           tol=tol, atol=atol, maxiter=maxiter, M=M)
 
-    x, info, iters, res = _run(b_sh, x0_sh)
+    x, info, iters, res = _run(A_sh, b_sh, x0_sh)
     return x[:n_orig], info, iters, res
