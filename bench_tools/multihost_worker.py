@@ -94,6 +94,27 @@ def main() -> int:
                 x_np.tobytes(), dtype=np.uint32).sum(dtype=np.uint64)),
         }
 
+    # AMG-PCG: host setup runs identically (deterministically) on every
+    # controller; the sharded hierarchy rides through jit as a Partial
+    # ARGUMENT (dist/solvers._as_pytree_m) — the multi-host-critical path.
+    from jax.experimental import multihost_utils
+
+    from tpu_sparse.dist.amg import distributed_amg_preconditioner
+
+    M = distributed_amg_preconditioner(A, mesh)
+    x, info, iters, res = distributed_cg(A, b, mesh=mesh, mode="gspmd",
+                                         tol=1e-6, M=M)
+    x_np = np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    rel = float(np.linalg.norm(np.asarray(b) - A @ x_np)
+                / np.linalg.norm(np.asarray(b)))
+    results["amg_pcg"] = {
+        "info": int(info),
+        "iters": int(iters),
+        "rel_residual": rel,
+        "x_crc": int(np.frombuffer(
+            x_np.tobytes(), dtype=np.uint32).sum(dtype=np.uint64)),
+    }
+
     print(json.dumps({
         "process_id": args.process_id,
         "num_processes": args.num_processes,

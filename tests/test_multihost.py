@@ -69,12 +69,15 @@ def test_two_process_distributed_cg():
     for r in reports:
         assert r["global_devices"] == 8
         assert r["local_devices"] == 4
-        for mode in ("gspmd", "halo"):
+        for mode in ("gspmd", "halo", "amg_pcg"):
             stats = r["results"][mode]
             assert stats["info"] == 0, (mode, stats)
             assert stats["rel_residual"] < 1e-5, (mode, stats)
+    # AMG must actually precondition (fewer iterations than plain CG)
+    assert (by_pid[0]["results"]["amg_pcg"]["iters"]
+            < by_pid[0]["results"]["gspmd"]["iters"])
     # both controllers must see the SAME solution, bitwise
-    for mode in ("gspmd", "halo"):
+    for mode in ("gspmd", "halo", "amg_pcg"):
         crc0 = by_pid[0]["results"][mode]["x_crc"]
         crc1 = by_pid[1]["results"][mode]["x_crc"]
         assert crc0 == crc1, f"cross-process mismatch in {mode}"

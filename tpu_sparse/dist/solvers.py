@@ -94,6 +94,18 @@ def _matvec_builder(A_sh, mesh: Mesh, mode: str) -> Callable:
     return lambda x: kref.dia_spmv_padded(A_sh, x)
 
 
+def _as_pytree_m(M):
+    """Make M jit-argument-passable: Partial is a registered pytree, so a
+    sharded-hierarchy preconditioner (dist/amg.py) rides through jit as an
+    ARGUMENT — required on multi-host, where its leaves span processes.
+    Plain callables wrap losslessly (their closures stay constants)."""
+    from jax.tree_util import Partial
+
+    if M is None or isinstance(M, Partial):
+        return M
+    return Partial(M)
+
+
 def distributed_matvec_op(A, mesh: Mesh, mode: str = "gspmd"):
     """Shard A and return (A_sharded, matvec) for the chosen mode (see
     _shard_and_resolve for mode semantics). The returned matvec closes
@@ -137,11 +149,11 @@ def distributed_cg(A, b: jax.Array, x0: Optional[jax.Array] = None, *,
 
     # A_sh rides as a jit ARGUMENT: multi-host shards are not closable
     @partial(jax.jit, static_argnums=())
-    def _run(aa, bb, xx0):
+    def _run(aa, bb, xx0, mm):
         return solver(_matvec_builder(aa, mesh, rmode), bb, xx0, tol=tol,
-                      atol=atol, maxiter=maxiter, M=M)
+                      atol=atol, maxiter=maxiter, M=mm)
 
-    x, info, iters, res = _run(A_sh, b_sh, x0_sh)
+    x, info, iters, res = _run(A_sh, b_sh, x0_sh, _as_pytree_m(M))
     return x[:n_orig], info, iters, res
 
 
@@ -161,11 +173,11 @@ def distributed_bicgstab(A, b: jax.Array,
     x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
 
     @jax.jit
-    def _run(aa, bb, xx0):
+    def _run(aa, bb, xx0, mm):
         return bicgstab_full(_matvec_builder(aa, mesh, rmode), bb, xx0,
-                             tol=tol, atol=atol, maxiter=maxiter, M=M)
+                             tol=tol, atol=atol, maxiter=maxiter, M=mm)
 
-    x, info, iters, res = _run(A_sh, b_sh, x0_sh)
+    x, info, iters, res = _run(A_sh, b_sh, x0_sh, _as_pytree_m(M))
     return x[:n_orig], info, iters, res
 
 
@@ -190,12 +202,12 @@ def distributed_gmres(A, b: jax.Array, x0: Optional[jax.Array] = None,
     x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
 
     @jax.jit
-    def _run(aa, bb, xx0):
+    def _run(aa, bb, xx0, mm):
         return gmres_full(_matvec_builder(aa, mesh, rmode), bb, xx0,
                           tol=tol, atol=atol, restart=restart,
-                          maxiter=maxiter, M=M, solve_method=solve_method)
+                          maxiter=maxiter, M=mm, solve_method=solve_method)
 
-    x, info, iters, res = _run(A_sh, b_sh, x0_sh)
+    x, info, iters, res = _run(A_sh, b_sh, x0_sh, _as_pytree_m(M))
     return x[:n_orig], info, iters, res
 
 
@@ -231,11 +243,11 @@ def distributed_block_cg(A, B: jax.Array, X0: Optional[jax.Array] = None,
     X0_sh = shard_rows(X0) if X0 is not None else None
 
     @jax.jit
-    def _run(aa, BB, XX0):
+    def _run(aa, BB, XX0, mm):
         return block_cg(_matvec_builder(aa, mesh, rmode), BB, XX0,
-                        tol=tol, atol=atol, maxiter=maxiter, M=M)
+                        tol=tol, atol=atol, maxiter=maxiter, M=mm)
 
-    X, infos, iters, res = _run(A_sh, B_sh, X0_sh)
+    X, infos, iters, res = _run(A_sh, B_sh, X0_sh, _as_pytree_m(M))
     return X[:n_orig], infos, iters, res
 
 
@@ -259,9 +271,9 @@ def distributed_minres(A, b: jax.Array, x0: Optional[jax.Array] = None,
     x0_sh = shard_vector(x0, mesh, unit) if x0 is not None else None
 
     @jax.jit
-    def _run(aa, bb, xx0):
+    def _run(aa, bb, xx0, mm):
         return minres_full(_matvec_builder(aa, mesh, rmode), bb, xx0,
-                           tol=tol, atol=atol, maxiter=maxiter, M=M)
+                           tol=tol, atol=atol, maxiter=maxiter, M=mm)
 
-    x, info, iters, res = _run(A_sh, b_sh, x0_sh)
+    x, info, iters, res = _run(A_sh, b_sh, x0_sh, _as_pytree_m(M))
     return x[:n_orig], info, iters, res
