@@ -37,8 +37,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tpu_sparse.direct import banded_solve
 from tpu_sparse.precond import amg_preconditioner, jacobi_preconditioner
-from tpu_sparse.solvers import bicgstab_full, bicgstab_refined, cg_full, cg_refined
+from tpu_sparse.solvers import (bicgstab_full, bicgstab_refined, cg_full,
+                                cg_refined, gmres_full, gmres_refined)
 from tpu_sparse.sparse.containers import DIA
 from tpu_sparse.sparse.convert import dia_from_offsets
 
@@ -71,6 +73,20 @@ def build_pressure_matrix(nx: int, ny: int, dx: float, dy: float,
     return dia_from_offsets((-nx, -1, 0, 1, nx), data, (n, n))
 
 
+def pin_pressure_matrix(A: DIA) -> DIA:
+    """Replace row 0 with the identity row e0, removing the constant
+    null space of the Neumann system so a DIRECT solve is well-posed
+    (the reference's module-C cuDSS variant relies on the same
+    fix-one-dof trick; iterative variants instead project the mean).
+    Row 0's original equation is redundant (rank n-1), and with
+    rhs[0] = 0 the solution matches the projected iterative one up to
+    the additive constant, removed afterwards."""
+    data = np.array(A.data)
+    for d, o in enumerate(A.offsets):
+        data[d, 0] = 1.0 if o == 0 else 0.0
+    return DIA(jnp.asarray(data), A.offsets, A.shape)
+
+
 @dataclasses.dataclass
 class LDCConfig:
     nx: int = 32
@@ -79,7 +95,7 @@ class LDCConfig:
     lid_velocity: float = 1.0
     L: float = 1.0
     cfl: float = 0.5
-    solver: str = "cg"          # 'cg' | 'bicgstab' | 'amg'
+    solver: str = "cg"          # 'cg' | 'bicgstab' | 'gmres' | 'direct'
     tol: float = 1e-8
     maxiter: int = 2000
     precond: str = "jacobi"     # 'none' | 'jacobi' | 'amg' | 'fsai'
@@ -107,6 +123,9 @@ class LDCSolver:
             0.25 * self.dx**2 / self.nu,
         )
         self.A = build_pressure_matrix(nx, ny, self.dx, self.dy)
+        # direct pressure solves need the null space pinned, not projected
+        self.A_pin = (pin_pressure_matrix(self.A)
+                      if cfg.solver == "direct" else None)
         if cfg.precond == "jacobi":
             self.M = jacobi_preconditioner(self.A)
         elif cfg.precond == "amg":
@@ -133,6 +152,7 @@ class LDCSolver:
         dx, dy, nu, dt = self.dx, self.dy, self.nu, self.dt
         Ulid = cfg.lid_velocity
         A, M = self.A, self.M
+        A_pin = self.A_pin
         solver = cfg.solver
         tol, maxiter = cfg.tol, cfg.maxiter
         mixed = cfg.precision == "mixed"
@@ -188,19 +208,20 @@ class LDCSolver:
             return rhs - jnp.mean(rhs)
 
         def solve_pressure(rhs, p_prev):
+            if solver == "direct":
+                # reference module-C analogue (cuDSS spsolve per step,
+                # ldc_solver_module_c.py): banded direct solve on the
+                # row-0-pinned system; no iteration count
+                x = banded_solve(A_pin, rhs.at[0].set(0.0))
+                x = x - jnp.mean(x)
+                return x.reshape(ny, nx), jnp.array(0, jnp.int32)
             x0 = p_prev.reshape(-1)
-            if mixed and solver == "bicgstab":
-                x, info, iters, res = bicgstab_refined(
-                    A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
-            elif mixed:
-                x, info, iters, res = cg_refined(
-                    A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
-            elif solver == "bicgstab":
-                x, info, iters, res = bicgstab_full(
-                    A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
-            else:
-                x, info, iters, res = cg_full(
-                    A, rhs, x0, tol=tol, maxiter=maxiter, M=M)
+            krylov = {"cg": (cg_refined, cg_full),
+                      "bicgstab": (bicgstab_refined, bicgstab_full),
+                      "gmres": (gmres_refined, gmres_full)}[solver]
+            fn = krylov[0] if mixed else krylov[1]
+            x, info, iters, res = fn(A, rhs, x0, tol=tol, maxiter=maxiter,
+                                     M=M)
             x = x - jnp.mean(x)
             return x.reshape(ny, nx), iters
 
@@ -343,7 +364,7 @@ def run_solver_cli():
     ap.add_argument("--Re", type=float, default=100.0)
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--method", default="cg",
-                    choices=["cg", "bicgstab", "amg"])
+                    choices=["cg", "bicgstab", "gmres", "direct", "amg"])
     ap.add_argument("--precond", default="jacobi",
                     choices=["none", "jacobi", "amg", "fsai"])
     ap.add_argument("--quick", action="store_true")

@@ -35,6 +35,39 @@ def test_ldc_short_run(solver_name):
     assert np.all(np.isfinite(np.asarray(s.v)))
 
 
+def test_ldc_gmres_and_direct_match_cg():
+    """The reference ships per-backend LDC variants (module A gmres,
+    module C cuDSS direct — ldc_solver_module_{a,c}.py); all pressure
+    backends must produce the same flow field."""
+    fields = {}
+    for name in ("cg", "gmres", "direct"):
+        cfg = LDCConfig(nx=12, Re=100.0, solver=name, tol=1e-10,
+                        precond="none" if name == "direct" else "jacobi")
+        s = LDCSolver(cfg)
+        u, v, p = s.u, s.v, s.p
+        for _ in range(30):
+            u, v, p, mres, iters = s._step(u, v, p)
+        assert float(mres) < 1e-5, (name, float(mres))
+        if name == "direct":
+            # direct projection solves the Poisson system exactly
+            assert float(mres) < 1e-12
+            assert int(iters) == 0
+        fields[name] = np.asarray(u)
+    for name in ("gmres", "direct"):
+        np.testing.assert_allclose(fields[name], fields["cg"],
+                                   atol=1e-8)
+
+
+def test_pin_pressure_matrix_nonsingular():
+    from examples.ldc.ldc_solver import pin_pressure_matrix
+
+    A = build_pressure_matrix(6, 6, 1 / 6, 1 / 6)
+    Ap = pin_pressure_matrix(A)
+    D = np.asarray(Ap.todense())
+    assert np.linalg.matrix_rank(D) == D.shape[0]
+    np.testing.assert_allclose(D[0], np.eye(D.shape[0])[0], atol=0)
+
+
 def test_ldc_amg_precond():
     cfg = LDCConfig(nx=16, Re=100.0, solver="cg", precond="amg", tol=1e-8)
     s = LDCSolver(cfg)
