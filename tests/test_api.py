@@ -191,8 +191,11 @@ def test_solve_multi_rhs_block_and_batched():
     X4, r4 = s.solve(A, B, method="cg", precision="mixed", tol=1e-10)
     assert r4.converged
     np.testing.assert_allclose(np.asarray(X4), Xt, rtol=1e-8, atol=1e-8)
-    with pytest.raises(ValueError, match="no mixed-precision variant"):
-        s.solve(A, B, method="minres", precision="mixed")
+    # every Krylov method has a mixed variant now — minres multi-RHS
+    # routes through the vmapped minres_refined
+    X5, r5 = s.solve(A, B, method="minres", precision="mixed", tol=1e-10)
+    assert r5.converged
+    np.testing.assert_allclose(np.asarray(X5), Xt, rtol=1e-8, atol=1e-8)
 
 
 def test_solve_multi_rhs_warm_start_and_reporting():

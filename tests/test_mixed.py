@@ -79,3 +79,63 @@ def test_gmres_refined_illcond_tridiag():
     assert int(info) == 0
     rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
     assert rel < 1e-8
+
+
+def test_cg_sr_refined_reaches_f64_tol():
+    """Mixed precision for the single-reduction CG (router
+    method='cg_sr', precision='mixed')."""
+    from tpu_sparse.solvers import cg_sr_refined
+
+    A, b, x_true = _setup(generators.tridiagonal)
+    x, info, inner_iters, res = cg_sr_refined(A, b, tol=1e-10)
+    assert int(info) == 0
+    rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+    assert rel < 1e-10
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_minres_refined_indefinite():
+    """Defect correction around MINRES: symmetric INDEFINITE at f32 inner
+    speed, f64 accuracy."""
+    from tests.test_solvers import _indefinite_system
+    from tpu_sparse.solvers import minres_refined
+
+    A = _indefinite_system(n=144, shift=1.2, seed=7)
+    rng = np.random.default_rng(7)
+    x_true = jnp.asarray(rng.standard_normal(A.shape[0]))
+    b = A @ x_true
+    x, info, _, res = minres_refined(A, b, tol=1e-10, maxiter=5000)
+    assert int(info) == 0
+    rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+    assert rel < 1e-10
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fcg_fgmres_refined():
+    from tpu_sparse.precond import jacobi_preconditioner
+    from tpu_sparse.solvers import fcg_refined, fgmres_refined
+
+    A, b, x_true = _setup(lambda n: generators.poisson2d(8), n=64)
+    M = jacobi_preconditioner(A)
+    for fn in (fcg_refined, fgmres_refined):
+        x, info, _, res = fn(A, b, tol=1e-10, M=M)
+        assert int(info) == 0, fn.__name__
+        rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+        assert rel < 1e-10, fn.__name__
+
+
+def test_router_mixed_all_methods():
+    """Every Krylov method is reachable with precision='mixed' through the
+    router (the reference's fp64 protocol at f32 inner speed)."""
+    from tpu_sparse.api.solver import SparseSolver
+
+    A, b, x_true = _setup(lambda n: generators.poisson2d(8), n=64, seed=9)
+    s = SparseSolver()
+    for method in ("cg", "bicgstab", "gmres", "cg_sr", "minres", "fcg",
+                   "fgmres"):
+        x, r = s.solve(A, b, method=method, precision="mixed", tol=1e-9)
+        assert r.converged, method
+        rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+        assert rel < 1e-9, (method, rel)

@@ -404,15 +404,13 @@ class SparseSolver:
             method = "cg"
             sel_backend = "krylov"
         if precision == "mixed" and sel_backend == "krylov":
-            if method not in ("cg", "bicgstab", "gmres"):
-                raise ValueError(
-                    f"{method} has no mixed-precision variant; use "
-                    "precision='full'")
             from tpu_sparse.solvers import batch_refined
 
             kw = dict(tol=tol, atol=atol, maxiter=maxiter, M=M)
             if method == "gmres":
                 kw.update(restart=restart, solve_method=solve_method)
+            elif method == "fgmres":
+                kw.update(restart=restart)
             X, infos, iters_v, res = batch_refined(
                 method, _wrap_m(A), B, X0, **kw)
             info = jnp.where(jnp.all(infos == 0), 0, -1).astype(jnp.int32)
@@ -528,13 +526,12 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
     from tpu_sparse.solvers import (
         bicgstab_refined,
         cg_refined,
+        cg_sr_refined,
+        fcg_refined,
+        fgmres_refined,
         gmres_refined,
+        minres_refined,
     )
-
-    if mixed and method in ("cg_sr", "fcg", "fgmres", "minres"):
-        raise ValueError(
-            f"{method} has no mixed-precision variant; use "
-            "precision='full'")
 
     def run(A, b, x0, M):
         out = _run_inner(A, b, x0, M)
@@ -548,6 +545,19 @@ def _jitted_krylov(method: str, tol: float, atol: float, maxiter, restart,
             if method == "cg":
                 return cg_refined(A, b, x0, tol=tol, atol=atol,
                                   maxiter=maxiter, M=M)
+            if method == "cg_sr":
+                return cg_sr_refined(A, b, x0, tol=tol, atol=atol,
+                                     maxiter=maxiter, M=M)
+            if method == "minres":
+                return minres_refined(A, b, x0, tol=tol, atol=atol,
+                                      maxiter=maxiter, M=M)
+            if method == "fcg":
+                return fcg_refined(A, b, x0, tol=tol, atol=atol,
+                                   maxiter=maxiter, M=M)
+            if method == "fgmres":
+                return fgmres_refined(A, b, x0, tol=tol, atol=atol,
+                                      restart=restart, maxiter=maxiter,
+                                      M=M)
             if method == "bicgstab":
                 return bicgstab_refined(A, b, x0, tol=tol, atol=atol,
                                         maxiter=maxiter, M=M)

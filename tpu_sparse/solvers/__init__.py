@@ -9,7 +9,11 @@ from tpu_sparse.solvers.krylov import (
 from tpu_sparse.solvers.mixed import (
     bicgstab_refined,
     cg_refined,
+    cg_sr_refined,
+    fcg_refined,
+    fgmres_refined,
     gmres_refined,
+    minres_refined,
     refined_solve,
 )
 from tpu_sparse.solvers.fcg import fcg, fcg_full
@@ -59,6 +63,7 @@ __all__ = [
     "minres", "minres_full",
     "cg_sr", "cg_sr_full",
     "cg_refined", "bicgstab_refined", "gmres_refined", "refined_solve",
+    "cg_sr_refined", "minres_refined", "fcg_refined", "fgmres_refined",
     "batch_cg", "batch_bicgstab", "batch_gmres", "batch_minres",
     "batch_refined",
     "batch_fcg", "batch_fgmres",

@@ -95,10 +95,14 @@ def batch_refined(method: str, A, B: jax.Array, X0=None, *,
     (everything inside refined_solve is jnp-level, so it batches
     cleanly). Returns (X, infos, inner_iters, res_norms)."""
     from tpu_sparse.solvers.mixed import (bicgstab_refined, cg_refined,
-                                          gmres_refined)
+                                          cg_sr_refined, fcg_refined,
+                                          fgmres_refined, gmres_refined,
+                                          minres_refined)
 
     fn = {"cg": cg_refined, "bicgstab": bicgstab_refined,
-          "gmres": gmres_refined}[method]
+          "gmres": gmres_refined, "cg_sr": cg_sr_refined,
+          "minres": minres_refined, "fcg": fcg_refined,
+          "fgmres": fgmres_refined}[method]
     return _batch(fn, A, B, X0, tol=tol, atol=atol, maxiter=maxiter,
                   M=M, **kw)
 

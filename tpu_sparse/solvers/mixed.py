@@ -256,3 +256,54 @@ def gmres_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
                          inner_tol=inner_tol, maxiter=maxiter,
                          max_sweeps=max_sweeps, M=M, restart=restart,
                          solve_method=solve_method)
+
+
+def cg_sr_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
+                  inner_tol: float = 1e-5, maxiter: Optional[int] = None,
+                  max_sweeps: int = 8, M=None):
+    """Defect correction around the single-reduction (Chronopoulos-Gear)
+    CG — mixed precision without giving up the fused all-reduce round."""
+    from tpu_sparse.solvers.pipelined import cg_sr_full
+
+    return refined_solve(cg_sr_full, A, b, x0, tol=tol, atol=atol,
+                         inner_tol=inner_tol, maxiter=maxiter,
+                         max_sweeps=max_sweeps, M=M)
+
+
+def minres_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
+                   inner_tol: float = 1e-5, maxiter: Optional[int] = None,
+                   max_sweeps: int = 8, M=None):
+    """Defect correction around MINRES: symmetric INDEFINITE systems at
+    f32 speed (each sweep only needs the inner solve to reduce the true
+    residual, which MINRES does monotonically)."""
+    from tpu_sparse.solvers.minres import minres_full
+
+    return refined_solve(minres_full, A, b, x0, tol=tol, atol=atol,
+                         inner_tol=inner_tol, maxiter=maxiter,
+                         max_sweeps=max_sweeps, M=M)
+
+
+def fcg_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
+                inner_tol: float = 1e-5, maxiter: Optional[int] = None,
+                max_sweeps: int = 8, M=None):
+    """Defect correction around flexible CG (variable preconditioners).
+    A callable M is applied to f32 operands inside the sweeps — supply an
+    f32-safe preconditioner (Partial/pytree preconditioners are cast
+    automatically)."""
+    from tpu_sparse.solvers.fcg import fcg_full
+
+    return refined_solve(fcg_full, A, b, x0, tol=tol, atol=atol,
+                         inner_tol=inner_tol, maxiter=maxiter,
+                         max_sweeps=max_sweeps, M=M)
+
+
+def fgmres_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
+                   inner_tol: float = 1e-5, restart: int = 20,
+                   maxiter: Optional[int] = None, max_sweeps: int = 8,
+                   M=None):
+    """Defect correction around FGMRES (see fcg_refined on callable M)."""
+    from tpu_sparse.solvers.fgmres import fgmres_full
+
+    return refined_solve(fgmres_full, A, b, x0, tol=tol, atol=atol,
+                         inner_tol=inner_tol, maxiter=maxiter,
+                         max_sweeps=max_sweeps, M=M, restart=restart)
