@@ -139,6 +139,32 @@ def main():
         "cg_residual": float(res),
     })
 
+    # --- the reference's other two headline rows at n=500 (BASELINE.md:
+    # GMRES 515.7 ms, cuDSS direct 21.4 ms on the RTX 4090) ---
+    try:
+        from tpu_sparse.direct import direct_solve
+        from tpu_sparse.solvers import gmres_refined
+
+        gsolve = jax.jit(lambda a, rhs: gmres_refined(
+            a, rhs, tol=1e-8, restart=20, maxiter=5000))
+        t_g = wall_time(gsolve, A, b)
+        xg5, info_g, _, res_g = jax.block_until_ready(gsolve(A, b))
+        dsolve = jax.jit(direct_solve)
+        t_d = wall_time(dsolve, A, b)
+        xd5 = jax.block_until_ready(dsolve(A, b))
+        res_d = float(jnp.linalg.norm(b - A @ xd5)
+                      / jnp.linalg.norm(b))
+        extra.update({
+            "gmres_tridiag500_wall_ms": round(t_g * 1e3, 2),
+            "gmres_tridiag500_vs_rtx4090": round(515.7 / (t_g * 1e3), 1),
+            "gmres_converged": bool(int(info_g) == 0),
+            "direct_tridiag500_wall_ms": round(t_d * 1e3, 2),
+            "direct_tridiag500_vs_rtx4090": round(21.4 / (t_d * 1e3), 2),
+            "direct_rel_residual": res_d,
+        })
+    except Exception as e:  # pragma: no cover - never fail the bench
+        extra["headline500_error"] = str(e)[:120]
+
     # --- general-structure (CWELL) Pallas SpMV: the cuSPARSE-capability
     # path for arbitrary matrices, measured on the 27-pt system packed as
     # a general CSR (no stencil structure assumed) ---

@@ -444,10 +444,15 @@ def _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl, *, shape, rb,
 # build cost isn't amortized by one output vector. With k RHS columns the
 # same one-hot feeds a (128,256)@(256,k) MXU matmul, so the build cost is
 # shared k ways and the FLOP overhead is only 2/fill vs the nonzeros.
-# B stays VMEM-resident in (m, KT) column tiles (grid dim 0), row blocks
-# stream as grid dim 1.
+# B stays VMEM-resident in (KT, m) TRANSPOSED column tiles (grid dim 0),
+# row blocks stream as grid dim 1. The transpose puts m on the lane axis:
+# a (m, KT) resident tile would lane-pad KT to 128 and cost m·128·4 B of
+# VMEM no matter how small KT is (measured: 128 MB — the whole chip — at
+# m=262144, OOM), while (KT, m) costs KT·m·4 B and the KT budget loop
+# below actually works. Window selection becomes a lane-axis dynamic
+# slice at 128-aligned offsets, which Mosaic supports.
 
-_B_VMEM_ELEMS = 6 * 1024 * 1024  # B-tile budget: 24 MB f32
+_B_VMEM_ELEMS = 16 * 1024 * 1024  # B-tile budget: 64 MB f32 (of 128 MB VMEM)
 
 
 def _cwell_spmm_kernel(srow_ref, b2d_ref, vals_ref, idx2_ref, y_ref,
@@ -460,12 +465,16 @@ def _cwell_spmm_kernel(srow_ref, b2d_ref, vals_ref, idx2_ref, y_ref,
     def s_body(s, carry):
         rb, acc = carry
         sr = srow_ref[0, rb, s]
-        Bwin = b2d_ref[pl.ds(lax_.mul(sr, i32(LW)), 2 * LW), :]  # (256, KT)
+        Bwin = b2d_ref[:, pl.ds(lax_.mul(sr, i32(LW)), 2 * LW)]  # (KT, 256)
         idx = idx2_ref[rb, s, :]            # (128,)
         v = vals_ref[rb, s, :]
         P = jnp.where(col == idx[:, None], v[:, None],
                       jnp.zeros((), jnp.float32))
-        acc = acc + jnp.dot(P, Bwin, preferred_element_type=jnp.float32)
+        acc = acc + lax_.dot_general(
+            P, Bwin, (((1,), (1,)), ((), ())),
+            precision=lax_.Precision.HIGHEST,  # full-f32 MXU passes:
+            # default (bf16 multipliers) measured 2.9e-3 rel on chip
+            preferred_element_type=jnp.float32)
         return rb, acc
 
     def rb_body(rb, _):
@@ -494,7 +503,7 @@ def _cwell_spmm_kernel_gq(srowq_ref, b2d_ref, vals_ref, idx2_ref, y_ref,
     def t_body(t, carry):
         rb, acc = carry
         sr = srowq_ref[0, rb, t]
-        Bwin = b2d_ref[pl.ds(lax_.mul(sr, i32(LW)), 2 * LW), :]  # (256, KT)
+        Bwin = b2d_ref[:, pl.ds(lax_.mul(sr, i32(LW)), 2 * LW)]  # (KT, 256)
         P = jnp.zeros((LW, 2 * LW), jnp.float32)
         base = lax_.mul(t, i32(Q))
         for q in range(Q):
@@ -503,7 +512,11 @@ def _cwell_spmm_kernel_gq(srowq_ref, b2d_ref, vals_ref, idx2_ref, y_ref,
             v = vals_ref[rb, s, :]
             P = P + jnp.where(col == idx[:, None], v[:, None],
                               jnp.zeros((), jnp.float32))
-        acc = acc + jnp.dot(P, Bwin, preferred_element_type=jnp.float32)
+        acc = acc + lax_.dot_general(
+            P, Bwin, (((1,), (1,)), ((), ())),
+            precision=lax_.Precision.HIGHEST,  # full-f32 MXU passes:
+            # default (bf16 multipliers) measured 2.9e-3 rel on chip
+            preferred_element_type=jnp.float32)
         return rb, acc
 
     def rb_body(rb, _):
@@ -529,7 +542,8 @@ def _cwell_spmm_inner(vals, idx2, srow, B, *, shape, rb, kt, group=1):
     k = B.shape[1]
     m_pad = max(((m + LW - 1) // LW) * LW, 2 * LW)
     k_pad = ((k + kt - 1) // kt) * kt
-    B2d = jnp.pad(B, ((0, m_pad - m), (0, k_pad - k)))
+    # transposed resident layout: lanes = m (fully used), sublanes = kt
+    B2d = jnp.pad(B, ((0, m_pad - m), (0, k_pad - k))).T
     grid_i = (nb + rb - 1) // rb
     nb_pad = grid_i * rb
     if grouped:
@@ -552,7 +566,7 @@ def _cwell_spmm_inner(vals, idx2, srow, B, *, shape, rb, kt, group=1):
         in_specs=[
             pl.BlockSpec((1, rb, srow.shape[1]), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((m_pad // LW * LW, kt), lambda j, i: (0, j),
+            pl.BlockSpec((kt, m_pad // LW * LW), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, S, LW), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -341,7 +341,8 @@ def _dia_ext_kernel(x_hbm, data_ref, y_ref, xa, xb, sems, *, offsets, H, C,
 # kernel tops out at ~723 GB/s at C=128K — the x-window DMAs are what
 # drags it off the roofline. Caps: x + y resident = 2·E·4 B.
 _RESIDENT_E_CAP = 6 * 1024 * 1024   # elements (24 MB x + 24 MB y)
-_RESIDENT_CHUNK = 32 * 1024         # data-streaming sweet spot
+_RESIDENT_CHUNK = 64 * 1024         # on-chip sweep winner (round 2):
+#   C=16K 133, C=32K 146-164, C=64K 172, C=128K 144 Gnnz/s (27-pt n=128³)
 _RESIDENT_ENABLED = True            # kill switch (perf A/B, debugging)
 _RESIDENT_PROBE: dict = {}          # {"f32"|"df": bool} — one-time results
 
