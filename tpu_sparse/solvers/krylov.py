@@ -420,6 +420,34 @@ def _lstsq_normal(H_kxk1, beta, restart):
     return _gauss_jordan_solve(G, c)
 
 
+def _lstsq_qr(H_kxk1, beta, restart):
+    """Backward-stable lstsq via Householder QR.
+
+    Used for the 32-bit (and narrower) batched cycles: the normal
+    equations square cond(H), so for cond(A) past ~1/sqrt(eps_f32) ≈ 4e3
+    the f32 Gram matrix carries no information and the cycle's true
+    residual stalls far above the ε·cond(A) floor a backward-stable
+    solve attains (observed round 2: f32 defect-correction sweeps on the
+    cond≈1e5 1-D Laplacian collapsed to 0.9× reduction per sweep; with
+    QR they recover ~6e-3). XLA lowers f32 QR natively on TPU; 16-bit
+    inputs are computed in f32. f64 keeps the Gauss-Jordan normal
+    equations (emulated-f64 QR does not lower everywhere, and
+    eps_f64·cond² is fine through cond ~ 1e7)."""
+    Hm = H_kxk1.T  # (restart+1, restart)
+    compute_dtype = Hm.dtype
+    if not jnp.issubdtype(compute_dtype, jnp.complexfloating) \
+            and jnp.finfo(compute_dtype).bits < 32:
+        compute_dtype = jnp.float32
+    Hc = Hm.astype(compute_dtype)
+    rhs = jnp.zeros((restart + 1,), compute_dtype).at[0].set(
+        beta.astype(compute_dtype))
+    Q, R = jnp.linalg.qr(Hc, mode="reduced")
+    c = Q.conj().T @ rhs
+    # _upper_triangular_solve guards zero pivots (exact-breakdown columns
+    # give R[i, i] == 0 and harmlessly yield y[i] == 0)
+    return _upper_triangular_solve(R, c).astype(H_kxk1.dtype)
+
+
 class _GmresBatchedCarry(NamedTuple):
     V: Any
     H: jax.Array
@@ -449,7 +477,11 @@ def _gmres_batched(A, b, x0, unit_residual, residual_norm, ptol, restart, M):
         cond, body,
         _GmresBatchedCarry(V0, H0, jnp.array(False), jnp.array(0, jnp.int32)),
     )
-    y = _lstsq_normal(carry.H, residual_norm.astype(dtype), restart)
+    if jnp.issubdtype(dtype, jnp.complexfloating) \
+            or jnp.finfo(dtype).bits > 32:
+        y = _lstsq_normal(carry.H, residual_norm.astype(dtype), restart)
+    else:
+        y = _lstsq_qr(carry.H, residual_norm.astype(dtype), restart)
     dx = tree_map(
         lambda Vl: jnp.einsum(
             "...k,k->...", Vl[..., :restart], y.astype(Vl.dtype),

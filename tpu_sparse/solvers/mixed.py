@@ -38,6 +38,7 @@ from tpu_sparse.utils.tree import (
     tree_add,
     tree_map,
     tree_norm,
+    tree_size,
     tree_sub,
     tree_vdot_real,
     tree_zeros_like,
@@ -66,7 +67,10 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
                   inner_tol: float = 1e-5,
                   maxiter: Optional[int] = None,
                   max_sweeps: int = 6, M=None,
-                  inner_dtype=jnp.float32, **inner_kwargs):
+                  inner_dtype=jnp.float32,
+                  inner_maxiter: Optional[int] = None,
+                  rescue_maxiter: Optional[int] = None,
+                  **inner_kwargs):
     """Defect-correction refinement around an f32 inner Krylov solve.
 
     The sweep loop is a static Python unroll rather than a while_loop:
@@ -75,6 +79,12 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
     tracing, and the unroll also lets converged sweeps short-circuit —
     a converged sweep feeds the inner solver an all-zero rhs, whose
     residual check exits at iteration 0.
+
+    `inner_maxiter` / `rescue_maxiter` cap the per-sweep / rescue inner
+    solve independently of `maxiter` — essential for restarted methods
+    whose `maxiter` counts restart cycles (a stalled f32 GMRES sweep
+    would otherwise burn `maxiter` full cycles before the accept logic
+    rejects it).
 
     Returns (x, info, total_inner_iterations, residual_norm) in b's dtype.
     """
@@ -103,12 +113,16 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
                 and jnp.issubdtype(leaf.dtype, jnp.floating) else leaf,
                 M)
     maxiter = _default_maxiter(b, maxiter)
+    if inner_maxiter is None:
+        inner_maxiter = maxiter
+    if rescue_maxiter is None:
+        rescue_maxiter = maxiter
 
     b_norm = tree_norm(b)
     thresh = jnp.maximum(tol * b_norm, atol)
     out_dtype = _first_dtype(b)
 
-    _inner = _make_inner(inner_solver, A32, M32, inner_tol, maxiter,
+    _inner = _make_inner(inner_solver, A32, M32, inner_tol, inner_maxiter,
                          inner_kwargs)
 
     x = tree_zeros_like(b) if x0 is None else x0
@@ -147,7 +161,7 @@ def refined_solve(inner_solver: Callable, A, b, x0: Optional[Any] = None, *,
     rhs = tree_map(
         lambda leaf: jnp.where(failed, leaf, jnp.zeros_like(leaf)), r)
     d, _, it_f, _ = inner_solver(A_rescue, rhs, None, tol=0.0, atol=thresh,
-                                 maxiter=maxiter, M=M, **inner_kwargs)
+                                 maxiter=rescue_maxiter, M=M, **inner_kwargs)
     x_new = tree_add(x, d)
     res_new = tree_norm(tree_sub(b, A_fn(x_new)))
     accept = jnp.isfinite(res_new) & (res_new < res_norm) & failed
@@ -248,14 +262,52 @@ def bicgstab_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
                          max_sweeps=max_sweeps, M=M)
 
 
+# Systems at or below this size run FULL GMRES (restart = n) under the
+# adaptive-restart policy: the Krylov buffer is at most ~8 MB in f64 and
+# exact termination in <= n iterations beats thousands of small restart
+# cycles by orders of magnitude on ill-conditioned systems.
+_ADAPTIVE_FULL_GMRES_N = 1024
+
+
 def gmres_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
                   inner_tol: float = 1e-5, restart: int = 20,
                   maxiter: Optional[int] = None, max_sweeps: int = 8,
-                  M=None, solve_method: str = "batched"):
+                  M=None, solve_method: str = "batched",
+                  adaptive_restart: bool = True):
+    """Mixed-precision GMRES via defect correction.
+
+    ``adaptive_restart`` (default on) treats ``restart`` as a hint: for
+    small systems (n <= 1024) the effective restart is raised to n —
+    full GMRES, which terminates in at most n Arnoldi steps. Restarted
+    GMRES(m) with m << sqrt(cond(A)) converges arbitrarily slowly on SPD
+    systems (the round-2 headline pathology: GMRES(20) on the n=500 1-D
+    Laplacian, cond ~ 1e5, needed thousands of f64 restart cycles), while
+    one full cycle is ~n vectorized Arnoldi steps. Pass
+    ``adaptive_restart=False`` for strict reference semantics
+    (torch_sparse_linalg.py:641-784 keeps restart fixed).
+
+    When the effective restart reaches n, each f32 sweep and the f64
+    rescue are capped at a handful of cycles — exact termination makes
+    further cycles pure waste for a stalled inner solve.
+    """
+    n = tree_size(b)
+    inner_cap = None
+    rescue_cap = None
+    if adaptive_restart and restart < n and n <= _ADAPTIVE_FULL_GMRES_N:
+        restart = n
+    if restart >= n:
+        # full GMRES: one cycle suffices in exact arithmetic — a stalled
+        # f32 sweep gains nothing from a second cycle (its floor is set
+        # by the f32 lstsq, not by Krylov depth), so sweeps run exactly
+        # one cycle and the accept logic judges the result
+        inner_cap = 1
+        rescue_cap = 4
     return refined_solve(gmres_full, A, b, x0, tol=tol, atol=atol,
                          inner_tol=inner_tol, maxiter=maxiter,
                          max_sweeps=max_sweeps, M=M, restart=restart,
-                         solve_method=solve_method)
+                         solve_method=solve_method,
+                         inner_maxiter=inner_cap,
+                         rescue_maxiter=rescue_cap)
 
 
 def cg_sr_refined(A, b, x0=None, *, tol: float = 1e-8, atol: float = 0.0,
