@@ -135,3 +135,30 @@ def test_block_cg_complex_hpd():
     X, infos, iters, res = block_cg(jnp.asarray(H), B, tol=1e-10)
     assert np.all(np.asarray(infos) == 0)
     np.testing.assert_allclose(np.asarray(X), X_true, rtol=1e-6, atol=1e-7)
+
+
+def test_batch_solvers_jit_traced_matrix():
+    """Round-2 regression: jitting a batch_* solver with the MATRIX as a
+    traced argument. batch_safe_matvec used to close over the container's
+    leaves, which custom_vmap tried (and failed) to lift as jaxpr
+    constants ("No constant handler for DynamicJaxprTracer" — the
+    BENCH_r02 block_cg_error). Leaves are explicit operands now."""
+    import numpy as np
+
+    from tpu_sparse.solvers import batch_gmres
+
+    A = generators.poisson2d(12, dtype=np.float32)
+    rng = np.random.default_rng(5)
+    B = jnp.asarray(rng.standard_normal((A.shape[0], 3)).astype(np.float32))
+
+    f = jax.jit(lambda a, bb: batch_cg(a, bb, tol=1e-5, maxiter=2000))
+    X, infos, _, _ = f(A, B)
+    assert int(jnp.all(infos == 0)) == 1
+    rel = float(jnp.linalg.norm(B - A @ X) / jnp.linalg.norm(B))
+    assert rel < 1e-4
+
+    g = jax.jit(lambda a, bb: batch_gmres(a, bb, tol=1e-5, restart=30,
+                                          maxiter=500))
+    X2, infos2, _, _ = g(A, B)
+    rel2 = float(jnp.linalg.norm(B - A @ X2) / jnp.linalg.norm(B))
+    assert rel2 < 1e-4

@@ -191,22 +191,34 @@ def batch_safe_matvec(A) -> Callable:
     unvalidated on TPU and slower than a real SpMM even where it lowers.
     Instead, a batched matvec IS an SpMM: route it to the dedicated SpMM
     dispatch (MXU CWELL/BELL kernels, XLA shifted-multiply DIA SpMM).
-    Used by the batched multi-RHS solvers (solvers/batched.py)."""
+    Used by the batched multi-RHS solvers (solvers/batched.py).
+
+    A's array leaves are passed to the custom_vmap primitive as explicit
+    operands, not captured in the closure: closed-over leaves become
+    constants of the stored vmap jaxpr, which fails with "No constant
+    handler for DynamicJaxprTracer" whenever the whole solve is jitted
+    with the matrix as an argument (the round-2 `block_cg_error`)."""
     from jax.custom_batching import custom_vmap
 
+    leaves, treedef = jax.tree_util.tree_flatten(A)
+
     @custom_vmap
-    def mv(x):
-        return spmv(A, x)
+    def mv(x, *A_leaves):
+        return spmv(jax.tree_util.tree_unflatten(treedef, A_leaves), x)
 
     @mv.def_vmap
-    def _mv_vmap(axis_size, in_batched, x):
-        (x_batched,) = in_batched
+    def _mv_vmap(axis_size, in_batched, x, *A_leaves):
+        x_batched = in_batched[0]
+        if any(in_batched[1:]):
+            raise NotImplementedError(
+                "batch_safe_matvec: matrix operands must not be batched")
+        A_ = jax.tree_util.tree_unflatten(treedef, A_leaves)
         if not x_batched:
-            return spmv(A, x), False
+            return spmv(A_, x), False
         # custom_vmap delivers the batch at axis 0: x is (k, n)
-        return spmm(A, x.T).T, True
+        return spmm(A_, x.T).T, True
 
-    return mv
+    return lambda x: mv(x, *leaves)
 
 
 def as_matvec(A) -> Callable:
