@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Measured communication volumes + modeled weak-scaling efficiency.
+
+Runs on the virtual 8-device CPU mesh with the SAME per-device shard
+shapes as the north-star target topology (weak scaling keeps per-device
+work constant, and per-device collective volumes are independent of the
+device count), compiles the distributed CG programs, and counts every
+collective with its exact byte size from the optimized HLO
+(tpu_sparse.dist.comm_model). The only modeled quantities are the v5e
+link speeds; everything else is measured program structure.
+
+Prints ONE JSON line consumed by bench.py's weak_scaling block.
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python bench_tools/comm_model.py --nx 96 --target-devices 16 \
+      --mesh-dims 4 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=96,
+                    help="per-device subgrid edge (rows/device = nx^3)")
+    ap.add_argument("--target-devices", type=int, default=16,
+                    help="north-star topology size (2 v5e hosts = 16)")
+    ap.add_argument("--mesh-dims", type=int, nargs="+", default=[4, 4],
+                    help="physical torus dims of the target slice")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache"))
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_sparse.dist import make_row_mesh
+    from tpu_sparse.dist.comm_model import (
+        HardwareModel,
+        comm_time_per_iteration,
+        measure_collectives,
+        modeled_weak_scaling_efficiency,
+        spmv_local_hbm_bytes,
+    )
+    from tpu_sparse.dist.partition import shard_vector
+    from tpu_sparse.dist.solvers import _matvec_builder, _shard_and_resolve
+    from tpu_sparse.solvers.krylov import cg_full
+    from tpu_sparse.solvers.pipelined import cg_sr_full
+    from tpu_sparse.sparse import generators
+
+    n_meas = jax.device_count()
+    nx = args.nx
+    # weak-scaling layout: per-device slab nx x nx x nx, global z = nx*N
+    A = generators.poisson3d_27pt(nx, nx, nx * n_meas, dtype=np.float32)
+    mesh = make_row_mesh(n_meas)
+    A_sh, rmode = _shard_and_resolve(A, mesh, "halo")
+    b_sh = shard_vector(jnp.ones(A.shape[0], jnp.float32), mesh)
+
+    stats = {}
+    for name, solver in (("cg", cg_full), ("cg_sr", cg_sr_full)):
+        def run(aa, bb, _s=solver):
+            return _s(_matvec_builder(aa, mesh, rmode), bb, None,
+                      tol=1e-6, maxiter=100)
+
+        stats[name] = measure_collectives(run, A_sh, b_sh)
+
+    N = args.target_devices
+    dims = tuple(args.mesh_dims)
+    rows_local = nx ** 3
+    nnz_local = int(A.nnz) // n_meas
+    local_bytes = spmv_local_hbm_bytes(nnz_local, rows_local)
+    hw = HardwareModel()
+
+    out = {
+        "measured_on": f"{n_meas}-device CPU mesh (virtual), "
+                       f"per-device shard = target shard",
+        "per_device_rows": rows_local,
+        "per_device_nnz": nnz_local,
+        "target_devices": N,
+        "target_mesh_dims": list(dims),
+        "total_nnz_at_target": nnz_local * N,
+        "local_hbm_bytes_per_iter": local_bytes,
+        "hw_model": {"hbm_gbs": hw.hbm_gbs, "ici_gbs": hw.ici_gbs,
+                     "hop_latency_us": hw.hop_latency_us},
+    }
+    for name, st in stats.items():
+        per_it = st.summary(per_iteration=True)
+        t_comm = comm_time_per_iteration(st, N, hw, dims)
+        eff = modeled_weak_scaling_efficiency(st, N, local_bytes, hw, dims)
+        eff_half = modeled_weak_scaling_efficiency(
+            st, N, local_bytes, hw, dims, overlap=0.5)
+        out[name] = {
+            "per_iteration_collectives": per_it,
+            "comm_us_per_iter_at_target": round(t_comm * 1e6, 2),
+            "compute_us_per_iter": round(
+                local_bytes / (hw.hbm_gbs * 1e9) * 1e6, 2),
+            "modeled_efficiency_no_overlap": round(eff, 3),
+            "modeled_efficiency_50pct_overlap": round(eff_half, 3),
+        }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -173,9 +173,10 @@ def main():
         print(f"block_pcr n=16384 w=128: {tp*1e3:.1f} ms (rel {rel:.1e}) "
               f"vs banded LU scan {tl*1e3:.1f} ms -> {tl/tp:.1f}x",
               flush=True)
-        jax.config.update("jax_enable_x64", False)
     except Exception as e:
         print(f"block_pcr FAILED: {str(e)[:200]}", flush=True)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
     # 7) resident C=64K default confirm at the bench size
     try:

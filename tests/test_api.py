@@ -348,3 +348,58 @@ def test_solve_reorder_rejects_wrong_length_b(spd):
     s = SparseSolver()
     with pytest.raises(ValueError, match="dimension mismatch"):
         s.solve(A, b[:-5], method="cg", reorder="rcm")
+
+
+def test_amg_stationary_accelerant_none():
+    """`solve(A, b, method='amg', accelerant=None)` runs AMG as a
+    stationary solver with its own convergence loop (AMGX amg-as-solver
+    parity, reference torch_amgx.py:481-483)."""
+    A = generators.poisson2d(16)
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    xt = jnp.asarray(rng.standard_normal(n))
+    b = A @ xt
+    x, result = solve(A, b, method="amg", accelerant=None, tol=1e-8,
+                      maxiter=200)
+    assert result.backend == "amg"
+    assert result.converged
+    assert result.iterations is not None and result.iterations > 0
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xt), rtol=1e-5,
+                               atol=1e-5)
+    # stationary needs more sweeps than PCG acceleration on the same A
+    _, r_pcg = solve(A, b, method="amg", tol=1e-8, maxiter=200)
+    assert result.iterations >= r_pcg.iterations
+
+
+def test_multirhs_direct_one_program_report_parity():
+    """Multi-RHS direct reporting is vmapped into the solve program; its
+    info/residual must match per-column direct_residual_info."""
+    from tpu_sparse.direct import direct_residual_info, direct_solve
+
+    A = generators.tridiagonal(96)
+    rng = np.random.default_rng(4)
+    B = jnp.asarray(rng.standard_normal((96, 5)))
+    s = SparseSolver()
+    X, result = s.solve(A, B, method="direct")
+    assert result.converged
+    rels = []
+    for j in range(5):
+        xj = direct_solve(A, B[:, j])
+        _, _, rel_j = direct_residual_info(A, B[:, j], xj)
+        rels.append(float(rel_j))
+        np.testing.assert_allclose(np.asarray(X[:, j]), np.asarray(xj),
+                                   rtol=1e-12, atol=1e-12)
+    assert result.residual == pytest.approx(max(rels), rel=1e-6)
+
+
+def test_benchmark_result_memory_field():
+    """BenchmarkResult carries memory_used_mb (reference benchmark.py:63
+    parity); None is allowed when the runtime hides allocator stats."""
+    from tpu_sparse.bench.harness import BenchmarkConfig, run_single_benchmark
+
+    cfg = BenchmarkConfig(runs=1, warmup=1, verbose=False)
+    r = run_single_benchmark("krylov", "cg", "tridiagonal", 64, cfg)
+    assert not r.error_message
+    assert hasattr(r, "memory_used_mb")
+    if r.memory_used_mb is not None:
+        assert r.memory_used_mb >= 0.0

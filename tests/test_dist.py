@@ -336,3 +336,58 @@ def test_distributed_cg_pipeline_matches_serial():
                                rtol=1e-7, atol=1e-7)
     # same mathematics: iteration counts stay in the same neighbourhood
     assert abs(int(iters) - int(k0)) <= 10, (int(k0), int(iters))
+
+
+def test_comm_model_measured_collectives_and_efficiency():
+    """Compiled-HLO collective counting (dist/comm_model.py): the halo
+    SpMV must show exactly 2 one-hop permutes of bandwidth*4 bytes, and
+    distributed CG exactly 2 scalar all-reduce rounds per iteration
+    (1 for the single-reduction variant) — the measured basis of the
+    north-star weak-scaling model (BASELINE.md)."""
+    import numpy as np
+
+    from tpu_sparse.dist import distributed_matvec_op, make_row_mesh
+    from tpu_sparse.dist.comm_model import (
+        measure_collectives,
+        modeled_weak_scaling_efficiency,
+        spmv_local_hbm_bytes,
+    )
+    from tpu_sparse.dist.partition import shard_vector
+    from tpu_sparse.dist.solvers import _matvec_builder, _shard_and_resolve
+    from tpu_sparse.solvers.krylov import cg_full
+    from tpu_sparse.solvers.pipelined import cg_sr_full
+    from tpu_sparse.sparse import generators
+
+    nx = 8
+    A = generators.poisson3d_27pt(nx, nx, nx * 8, dtype=np.float32)
+    mesh = make_row_mesh(8)
+    A_sh, matvec = distributed_matvec_op(A, mesh, "halo")
+    v = shard_vector(jnp.zeros(A.shape[0], jnp.float32), mesh)
+
+    st = measure_collectives(lambda x: matvec(x), v)
+    s = st.summary()
+    assert s["collective-permute"]["count"] == 2
+    w = max(A_sh.bandwidth, 1)
+    assert s["collective-permute"]["bytes"] == 2 * w * 4
+
+    b_sh = shard_vector(jnp.ones(A.shape[0], jnp.float32), mesh)
+    per_iter_reduces = {}
+    for name, solver in (("cg", cg_full), ("cg_sr", cg_sr_full)):
+        def run(aa, bb, _s=solver):
+            return _s(_matvec_builder(aa, mesh, "halo"), bb, None,
+                      tol=1e-6, maxiter=50)
+
+        stats = measure_collectives(run, A_sh, b_sh)
+        per_it = stats.summary(per_iteration=True)
+        assert per_it["collective-permute"]["count"] == 2, name
+        per_iter_reduces[name] = per_it["all-reduce"]["count"]
+        # modeled efficiency: monotone in device count's comm cost and
+        # in [0, 1]
+        local = spmv_local_hbm_bytes(A.nnz // 8, A.shape[0] // 8)
+        e16 = modeled_weak_scaling_efficiency(stats, 16, local,
+                                              mesh_dims=(4, 4))
+        assert 0.0 < e16 <= 1.0
+    # the single-reduction recurrence must measure exactly one fused
+    # reduction round vs CG's two
+    assert per_iter_reduces["cg"] == 2
+    assert per_iter_reduces["cg_sr"] == 1

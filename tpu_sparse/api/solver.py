@@ -369,8 +369,18 @@ class SparseSolver:
             extra=tuple(sorted(kwargs.items())))
 
     def _solve_amg(self, A, b, x0, method, tol, atol, maxiter, **kwargs):
-        M = self._amg_M(A, **kwargs)
+        accelerant = kwargs.pop("accelerant", "cg")
         maxiter = maxiter if maxiter is not None else 100
+        if accelerant in (None, "none"):
+            # stationary V-cycle iteration with its own convergence loop
+            # (AMGX amg-as-solver parity, torch_amgx.py:481-483); default
+            # AMGX sweeps (0 pre / 3 post) unless the caller overrides
+            kwargs.setdefault("pre_sweeps", 0)
+            kwargs.setdefault("post_sweeps", 3)
+            kwargs.setdefault("omega", 1.0)
+            M = self._amg_M(A, **kwargs)
+            return _jitted_amg_stationary(tol, atol, maxiter)(A, b, x0, M)
+        M = self._amg_M(A, **kwargs)
         return _jitted_krylov("cg", tol, atol, maxiter, 20, "batched",
                               False)(A, b, x0, M)
 
@@ -396,7 +406,6 @@ class SparseSolver:
         from tpu_sparse.solvers import (batch_bicgstab, batch_gmres,
                                         block_cg)
 
-        nrhs = B.shape[1]
         report_backend, report_method = sel_backend, method
         if sel_backend == "amg":
             M = self._amg_M(A, **kwargs)
@@ -423,19 +432,10 @@ class SparseSolver:
                 iterations=int(iters_vv), residual=float(rel_v),
                 backend=report_backend, method=report_method)
         if sel_backend == "direct":
-            from tpu_sparse.solvers import batch_direct
-            from tpu_sparse.direct import direct_residual_info
-
-            X = batch_direct(A, B)
-            infos = []
-            rels = []
-            for j in range(nrhs):
-                info_j, _, rel_j = direct_residual_info(A, B[:, j], X[:, j])
-                infos.append(info_j)
-                rels.append(rel_j)
-            info = jnp.where(jnp.all(jnp.stack(infos) == 0), 0,
-                             -1).astype(jnp.int32)
-            rel = jnp.max(jnp.stack(rels))
+            # solve + per-column residual report in ONE device program
+            # (a per-column Python loop would dispatch k extra programs
+            # through the remote runtime)
+            X, info, rel = _jitted_batch_direct()(A, B)
             iters = None
         elif method in ("cg", "cg_sr"):
             # block CG already fuses reductions across the RHS block, so
@@ -646,6 +646,47 @@ def _jitted_krylov_ext(method: str, tol: float, atol: float, maxiter,
         bn = tree_norm(b)
         rel = out[3] / jnp.where(bn > 0, bn, 1.0)
         return out + (rel,)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_amg_stationary(tol: float, atol: float, maxiter: int):
+    """Stationary AMG iteration (accelerant=None) as one jitted program;
+    the hierarchy rides through as a pytree Partial argument."""
+    from tpu_sparse.precond.amg import amg_stationary_solve
+
+    def run(A, b, x0, M):
+        x, info, iters, res = amg_stationary_solve(
+            A, b, x0, tol=tol, atol=atol, maxiter=maxiter, precond=M)
+        bn = tree_norm(b)
+        return x, info, iters, res, res / jnp.where(bn > 0, bn, 1.0)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_batch_direct():
+    """Multi-RHS direct solve + per-column residual info as one program.
+
+    The residual block B − AX goes through the SpMM dispatch (one MXU/VPU
+    program), NOT a vmapped spmv: the manual-DMA Pallas SpMV kernels do
+    not lower under Pallas's generic batching rule on TPU."""
+    from tpu_sparse.kernels import spmm
+    from tpu_sparse.solvers import batch_direct
+
+    def run(A, B):
+        X = batch_direct(A, B)
+        R = B - spmm(A, X)
+        res = jnp.linalg.norm(R, axis=0)
+        bn = jnp.linalg.norm(B, axis=0)
+        # per-column convergence contract of direct_residual_info
+        rel_tol = 1e-8 if jnp.finfo(B.dtype).bits >= 64 else 1e-4
+        ok = jnp.isfinite(res) & (
+            res <= jnp.maximum(rel_tol * bn, jnp.finfo(B.dtype).tiny))
+        info = jnp.where(jnp.all(ok), 0, -1).astype(jnp.int32)
+        rels = res / jnp.where(bn > 0, bn, 1.0)
+        return X, info, jnp.max(rels)
 
     return jax.jit(run)
 

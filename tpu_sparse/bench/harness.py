@@ -58,7 +58,50 @@ class BenchmarkResult:
     residual: float
     converged: bool
     iterations: Optional[int]
+    memory_used_mb: Optional[float] = None
     error_message: str = ""
+
+
+def _live_array_mb() -> Optional[float]:
+    """Client-side accounting of live jax.Array bytes on the default
+    device — a lower bound (excludes XLA temporaries) used when the
+    runtime does not expose allocator stats (the axon TPU tunnel returns
+    None from memory_stats())."""
+    try:
+        dev = jax.local_devices()[0]
+        total = 0
+        for a in jax.live_arrays():
+            if dev in getattr(a.sharding, "device_set", ()):
+                total += a.nbytes
+        return float(total) / (1024.0 * 1024.0)
+    except Exception:
+        return None
+
+
+def _device_memory_mb() -> Optional[float]:
+    """Current device bytes-in-use in MB (parity with the reference's
+    `_get_memory_usage_mb`, benchmark.py:142-146, which reads
+    `torch.cuda.memory_allocated`); falls back to live-array accounting
+    when the runtime hides allocator stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            return float(stats["bytes_in_use"]) / (1024.0 * 1024.0)
+    except Exception:
+        pass
+    return _live_array_mb()
+
+
+def device_peak_memory_mb() -> Optional[float]:
+    """Peak device bytes-in-use in MB since process start, if the
+    allocator exposes it; else current live-array total (lower bound)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return float(stats["peak_bytes_in_use"]) / (1024.0 * 1024.0)
+    except Exception:
+        pass
+    return _live_array_mb()
 
 
 def _create_matrix(matrix_type: str, n: int):
@@ -106,6 +149,7 @@ def run_single_benchmark(backend: str, method: str, matrix_type: str,
             jax.block_until_ready(x)
             return x, result
 
+        mem_before = _device_memory_mb()
         for _ in range(config.warmup):
             x, result = run()
         times = []
@@ -113,12 +157,16 @@ def run_single_benchmark(backend: str, method: str, matrix_type: str,
             t0 = time.perf_counter()
             x, result = run()
             times.append(time.perf_counter() - t0)
+        mem_after = _device_memory_mb()
+        memory_used_mb = (round(mem_after - mem_before, 2)
+                          if mem_before is not None and mem_after is not None
+                          else None)
 
         return BenchmarkResult(
             backend=backend, method=method, matrix_type=matrix_type,
             size=size, solve_time_ms=float(np.median(times)) * 1e3,
             residual=float(result.residual), converged=bool(result.converged),
-            iterations=result.iterations,
+            iterations=result.iterations, memory_used_mb=memory_used_mb,
         )
     except Exception as exc:  # error capture (reference :249-260)
         return BenchmarkResult(
@@ -205,19 +253,22 @@ def generate_markdown_report(results: List[BenchmarkResult],
         lines.append(f"## {matrix_type}")
         lines.append("")
         lines.append("| n | backend | method | time (ms) | residual | "
-                     "converged | iters |")
-        lines.append("|---|---|---|---|---|---|---|")
+                     "converged | iters | mem (MB) |")
+        lines.append("|---|---|---|---|---|---|---|---|")
         for r in sorted(subset, key=lambda r: (r.size, r.backend, r.method)):
             if r.error_message:
                 lines.append(
                     f"| {r.size} | {r.backend} | {r.method} | ERROR | | | "
-                    f"{r.error_message[:40]} |")
+                    f"{r.error_message[:40]} | |")
             else:
+                mem = (f"{r.memory_used_mb:.2f}"
+                       if r.memory_used_mb is not None else "-")
                 lines.append(
                     f"| {r.size} | {r.backend} | {r.method} | "
                     f"{r.solve_time_ms:.2f} | {r.residual:.2e} | "
                     f"{'yes' if r.converged else 'NO'} | "
-                    f"{r.iterations if r.iterations is not None else '-'} |")
+                    f"{r.iterations if r.iterations is not None else '-'} | "
+                    f"{mem} |")
         lines.append("")
 
     # best performer per (type, size) — reference's comparison table

@@ -452,7 +452,10 @@ def _cwell_df_inner(valsh, valsl, idx2, srow, xh, xl, *, shape, rb,
 # below actually works. Window selection becomes a lane-axis dynamic
 # slice at 128-aligned offsets, which Mosaic supports.
 
-_B_VMEM_ELEMS = 16 * 1024 * 1024  # B-tile budget: 64 MB f32 (of 128 MB VMEM)
+# B-tile budget: 48 MB f32 (of 128 MB VMEM). Headroom matters: Mosaic may
+# double-buffer the grid-j-varying B block, so an exact 64 MB budget under
+# a 110 MB vmem_limit can fail to compile at kt=64 (unexercised on chip).
+_B_VMEM_ELEMS = 12 * 1024 * 1024
 
 
 def _cwell_spmm_kernel(srow_ref, b2d_ref, vals_ref, idx2_ref, y_ref,

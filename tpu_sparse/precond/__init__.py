@@ -9,6 +9,7 @@ from tpu_sparse.precond.amg import (
     amg_preconditioner,
     amg_setup,
     amg_solve,
+    amg_stationary_solve,
     v_cycle,
 )
 from tpu_sparse.precond.poly import (
@@ -25,7 +26,7 @@ from tpu_sparse.precond.fsai import (
 __all__ = [
     "diagonal", "jacobi_preconditioner", "l1_jacobi_diag",
     "AMGHierarchy", "AMGLevel", "amg_preconditioner", "amg_setup",
-    "amg_solve", "v_cycle",
+    "amg_solve", "amg_stationary_solve", "v_cycle",
     "chebyshev_preconditioner", "ilu0_factor", "ilu0_preconditioner",
     "neumann_preconditioner",
     "fsai_preconditioner", "fsai_setup",

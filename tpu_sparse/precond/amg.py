@@ -370,6 +370,51 @@ def amg_preconditioner(A, *, theta: float = 0.08, target_size: int = 4,
         _make_vcycle_apply(pre_sweeps, post_sweeps, omega, smoother), hier)
 
 
+def amg_stationary_solve(A, b, x0=None, *, tol: float = 1e-6,
+                         atol: float = 0.0, maxiter: int = 100,
+                         theta: float = 0.08, target_size: int = 4,
+                         max_levels: int = 50, coarse_size: int = 16,
+                         pre_sweeps: int = 0, post_sweeps: int = 3,
+                         omega: float = 1.0,
+                         precond: Optional[Partial] = None,
+                         smoothed: bool = False):
+    """Stationary AMG iteration: x ← x + V(b − Ax) with its own
+    convergence loop (AMGX's ``amgx_amg`` analogue — the reference runs
+    AMG as a solver with AMGX's own tol/maxiter control,
+    torch_amgx.py:50-99,481-483 — not only as a CG preconditioner).
+
+    Default sweeps mirror the reference AMGX config (0 pre / 3 post
+    L1-Jacobi); unlike PCG acceleration, the cycle need not be symmetric.
+    Convergence contract matches the Krylov solvers:
+    ``‖r‖ ≤ max(tol·‖b‖, atol)``; returns (x, info, iterations, ‖r‖)
+    with info 0 = converged, -1 = maxiter hit.
+    """
+    M = precond if precond is not None else amg_preconditioner(
+        A, theta=theta, target_size=target_size, max_levels=max_levels,
+        coarse_size=coarse_size, pre_sweeps=pre_sweeps,
+        post_sweeps=post_sweeps, omega=omega, smoothed=smoothed)
+    matvec = A if callable(A) else (lambda v: spmv(A, v))
+    b_norm = jnp.linalg.norm(b)
+    thresh = jnp.maximum(tol * b_norm, atol).astype(b.dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    def cond(state):
+        _, r_norm, k = state
+        return (r_norm > thresh) & (k < maxiter) & jnp.isfinite(r_norm)
+
+    def body(state):
+        x, _, k = state
+        x = x + M(b - matvec(x))
+        return x, jnp.linalg.norm(b - matvec(x)), k + 1
+
+    r0 = b - matvec(x0)
+    x, r_norm, iters = jax.lax.while_loop(
+        cond, body, (x0, jnp.linalg.norm(r0), jnp.array(0, jnp.int32)))
+    ok = jnp.isfinite(r_norm) & (r_norm <= thresh)
+    info = jnp.where(ok, 0, -1).astype(jnp.int32)
+    return x, info, iters, r_norm
+
+
 def amg_solve(A, b, x0=None, *, tol: float = 1e-6, atol: float = 0.0,
               maxiter: int = 100, theta: float = 0.08,
               target_size: int = 4, max_levels: int = 50,
