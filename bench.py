@@ -122,6 +122,27 @@ def main():
         "spmv_27pt_gbs": round(bw, 1),
     })
 
+    # --- measured HBM roofline: stream-triad probe (y = a*x + y over a
+    # working set far past VMEM). Nominal 820 GB/s is a paper number; the
+    # achievable copy bandwidth on a real chip is lower, and the kernel
+    # should be judged against THAT (VERDICT r2 item 4) ---
+    try:
+        big = jnp.asarray(
+            rng.standard_normal(64 * 1024 * 1024).astype(np.float32))
+        a_c = np.float32(1.000001)
+        # a*y + big (not a*big + y): the latter is loop-invariant and XLA
+        # would hoist it, collapsing the triad to a 2-vector axpy
+        dt_tri = per_iter_time(lambda y: a_c * y + big, big, K1=5, K2=50)
+        # triad moves 3 vectors (read x, read y, write y) of 256 MB
+        hbm_meas = 3 * big.nbytes / dt_tri / 1e9
+        extra.update({
+            "hbm_triad_gbs_measured": round(hbm_meas, 1),
+            "spmv_27pt_frac_of_measured_hbm": round(bw / hbm_meas, 3),
+        })
+        del big
+    except Exception as e:  # pragma: no cover
+        extra["hbm_triad_error"] = str(e)[:120]
+
     # --- reference-protocol CG: fp64-accurate solve, tridiagonal n=500 ---
     jax.config.update("jax_enable_x64", True)
     A = generators.tridiagonal(500)

@@ -476,3 +476,32 @@ def test_cwell_grouped_spmm_stencil_wide_rhs():
         pallas_cwell._INTERPRET = False
     assert Y is not None
     np.testing.assert_allclose(np.asarray(Y), y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cwell_spmm_wide_k_column_chunking():
+    """k past the VMEM kt budget solves kt-wide column slabs (r3 on-chip
+    finding: k=128 at m=262144 failed Mosaic lowering — the k-block must
+    be 128-divisible or equal to the array dim)."""
+    import tpu_sparse.kernels.pallas_cwell as pc
+    from tpu_sparse.kernels import reference as kref
+    from tpu_sparse.sparse.convert import dense_to_csr
+
+    rng = np.random.default_rng(5)
+    n = 512
+    Ad = ((rng.random((n, n)) < 0.05)
+          * rng.standard_normal((n, n))).astype(np.float32)
+    W = csr_to_cwell(dense_to_csr(Ad), group=2)
+    old_interp, old_budget = pc._INTERPRET, pc._B_VMEM_ELEMS
+    pc._INTERPRET = True
+    pc._B_VMEM_ELEMS = 1024 * 64  # tiny budget forces kt < k
+    try:
+        for k in (150, 256):
+            B = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+            Y = pc.cwell_spmm_pallas(W, B)
+            assert Y is not None
+            Yo = kref.cwell_spmm(W, B)
+            rel = float(jnp.max(jnp.abs(Y - Yo))
+                        / (float(jnp.max(jnp.abs(Yo))) + 1e-30))
+            assert rel < 1e-5, (k, rel)
+    finally:
+        pc._INTERPRET, pc._B_VMEM_ELEMS = old_interp, old_budget

@@ -390,12 +390,63 @@ class SparseSolver:
         if (_direct.needs_host_splu(A)
                 and jax.default_backend() == "tpu"):
             # The axon TPU runtime rejects host callbacks inside compiled
-            # programs; run the SuperLU path eagerly instead of jitted.
-            x = _direct.host_splu_eager(A, b)
+            # programs. Factor once on host (cached per matrix, like AMG
+            # setup) and run the jit-composable device triangular solves
+            # (direct/sparse_lu.py) when the factor packs are
+            # Pallas-capable; otherwise solve with the CACHED host
+            # SuperLU (factor once per matrix — the per-solve
+            # refactorization of plain host_splu_eager is gone).
+            from tpu_sparse.direct.sparse_lu import is_device_capable
+
+            lu = (self._sparse_lu(A)
+                  if A.shape[0] <= _SPARSE_LU_DEVICE_N_CAP else None)
+            if lu is not None and is_device_capable(lu):
+                x, info, res, rel = _jitted_sparse_lu()(lu, A, b)
+                return x, info, None, res, rel
+            slu = self._host_splu(A)
+            import numpy as _np
+
+            x = jnp.asarray(
+                slu.solve(_np.asarray(b, dtype=_np.float64)).astype(
+                    _np.asarray(b).dtype))
             info, res, rel = _direct.direct_residual_info(A, b, x)
             return x, info, None, res, rel
         x, info, _, res, rel = _jitted_direct()(A, b)
         return x, info, None, res, rel
+
+    def _sparse_lu(self, A):
+        """Cached host factorization for the general-sparse direct path."""
+        from tpu_sparse.direct.sparse_lu import SparseLU
+        from tpu_sparse.utils.opcache import OperandCache
+
+        cached = getattr(self, "_lu_cache", None)
+        if cached is None:
+            cached = self._lu_cache = OperandCache(max_entries=8)
+        return cached.get_or_build(A, lambda: SparseLU.factor(A))
+
+    def _host_splu(self, A):
+        """Cached scipy SuperLU object (host solves, factor-once)."""
+        from tpu_sparse.utils.opcache import OperandCache
+
+        cached = getattr(self, "_host_lu_cache", None)
+        if cached is None:
+            cached = self._host_lu_cache = OperandCache(max_entries=8)
+
+        def build():
+            import numpy as np
+            import scipy.sparse as sp
+            import scipy.sparse.linalg as spl
+
+            from tpu_sparse.sparse.convert import to_csr
+
+            Ac = to_csr(A)
+            M = sp.csr_matrix(
+                (np.asarray(Ac.data, dtype=np.float64),
+                 np.asarray(Ac.indices), np.asarray(Ac.indptr)),
+                shape=Ac.shape)
+            return spl.splu(M.tocsc())
+
+        return cached.get_or_build(A, build)
 
     def _solve_multirhs(self, A, B, X0, sel_backend, method, tol, atol,
                         maxiter, M, restart, solve_method,
@@ -650,6 +701,12 @@ def _jitted_krylov_ext(method: str, tol: float, atol: float, maxiter,
     return jax.jit(run)
 
 
+# Past this size the host SuperLU factors of general systems stop being
+# Pallas-capable (plane-rich packs) and the device sweeps lose to the
+# cached host solve; SparseLU remains available directly at any size.
+_SPARSE_LU_DEVICE_N_CAP = 32768
+
+
 @functools.lru_cache(maxsize=32)
 def _jitted_amg_stationary(tol: float, atol: float, maxiter: int):
     """Stationary AMG iteration (accelerant=None) as one jitted program;
@@ -687,6 +744,21 @@ def _jitted_batch_direct():
         info = jnp.where(jnp.all(ok), 0, -1).astype(jnp.int32)
         rels = res / jnp.where(bn > 0, bn, 1.0)
         return X, info, jnp.max(rels)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_sparse_lu():
+    """General-sparse direct solve (cached SparseLU factors) + residual
+    info as one device program; the factors ride through as pytree args."""
+    from tpu_sparse.direct import direct_residual_info
+    from tpu_sparse.direct.sparse_lu import sparse_lu_solve_diff
+
+    def run(lu, A, b):
+        x = sparse_lu_solve_diff(lu, b)
+        info, res, rel = direct_residual_info(A, b, x)
+        return x, info, res, rel
 
     return jax.jit(run)
 

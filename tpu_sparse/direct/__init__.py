@@ -153,8 +153,10 @@ def direct_solve(A, b: jax.Array) -> jax.Array:
                 raise NotImplementedError(
                     "general sparse direct solves inside jit on this TPU "
                     "runtime need host callbacks, which it does not "
-                    "support; call outside jit (host SuperLU) or use an "
-                    "iterative method")
+                    "support; factor outside jit with "
+                    "direct.SparseLU.factor(A) and call lu.solve(b) "
+                    "inside jit (the router does this automatically), "
+                    "or use an iterative method")
             return dense_solve(A, b)
         if not isinstance(A, (CSR, COO)):
             A = A.tocoo()
@@ -204,10 +206,19 @@ def direct_solve_full_diff(A, b):
     return _implicit._dispatch("direct", A, b, None, None, opts=())
 
 
+from tpu_sparse.direct.sparse_lu import (  # noqa: E402
+    SparseLU,
+    is_device_capable,
+    sparse_lu_solve,
+    sparse_lu_solve_diff,
+)
+
 __all__ = [
     "banded_solve", "direct_solve", "direct_solve_diff",
     "direct_solve_full_diff", "thomas_solve", "banded_lu_solve",
     "banded_lu_factor", "dense_solve", "host_splu_solve",
     "host_splu_eager", "needs_host_splu", "direct_residual_info",
     "pcr_solve", "block_pcr_solve",
+    "SparseLU", "sparse_lu_solve", "sparse_lu_solve_diff",
+    "is_device_capable",
 ]

@@ -73,7 +73,9 @@ def _to_sharded_operator(A, mesh: Mesh):
     if isinstance(A, CWELL):
         return _shard_cwell(A, mesh)
     if isinstance(A, CSR):
-        return _shard_cwell(csr_to_cwell(A), mesh)
+        from tpu_sparse.sparse.cwell import AUTO_GROUP as _AG
+
+        return _shard_cwell(csr_to_cwell(A, group=_AG), mesh)
     return jax.device_put(A, NamedSharding(mesh, P()))
 
 

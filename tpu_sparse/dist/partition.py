@@ -103,7 +103,9 @@ def shard_general(A, mesh: Mesh):
         if Ac.shape[0] != Ac.shape[1]:
             raise ValueError("distributed solves need a square system")
         n_pad = _pad_rows_to(n, n_dev * LW)
-        W = csr_to_cwell(pad_csr_identity(Ac, n_pad))
+        from tpu_sparse.sparse.cwell import AUTO_GROUP as _AG
+
+        W = csr_to_cwell(pad_csr_identity(Ac, n_pad), group=_AG)
     sh3 = row_sharding(mesh, ndim=3, row_axis_pos=0)
     sh2 = row_sharding(mesh, ndim=2, row_axis_pos=0)
     return CWELL(jax.device_put(W.vals, sh3),

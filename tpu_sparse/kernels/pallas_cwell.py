@@ -81,7 +81,7 @@ def _cwell_kernel(srow_ref, x2d_ref, vals_ref, idx2_ref, y_ref, xw,
 
     def rb_body(rb, _):
         acc = jnp.zeros((8, LW), jnp.float32)
-        _, acc = lax_.fori_loop(0, G, g_body, (rb, acc), unroll=G)
+        _, acc = lax_.fori_loop(0, G, g_body, (rb, acc), unroll=G if G <= 384 else 1)
         y_ref[rb, :] = jnp.sum(acc, axis=0)
         return 0
 
@@ -141,7 +141,7 @@ def _cwell_kernel_gq(srowq_ref, x2d_ref, vals_ref, idx2_ref, y_ref,
 
     def rb_body(rb, _):
         acc = jnp.zeros((8, LW), jnp.float32)
-        _, acc = lax_.fori_loop(0, G, g_body, (rb, acc), unroll=G)
+        _, acc = lax_.fori_loop(0, G, g_body, (rb, acc), unroll=G if G <= 384 else 1)
         y_ref[rb, :] = jnp.sum(acc, axis=0)
         return 0
 
@@ -210,13 +210,25 @@ def _cwell_spmv_inner(vals, idx2, srow, x, *, shape, rb, group=1):
 
 
 def _pick_rb(S: int) -> int:
-    # Both kernel loops fully unroll. TPU sweep on the 27-pt stencil
-    # (S=40): rb=16 -> 38.6 Gnnz/s beats rb=8 (32.9), rb=24 (15.8),
-    # rb=32 (28.2), rb=48 (14.4) — power-of-two rb with a bounded
-    # unrolled plane-group count (rb*S/8) is the sweet spot. Drop to
-    # rb=8 for very plane-rich matrices to bound Mosaic compile time.
+    # TPU sweep on the 27-pt stencil (S=40): rb=16 -> 38.6 Gnnz/s beats
+    # rb=8 (32.9), rb=24 (15.8), rb=32 (28.2), rb=48 (14.4) — power-of-two
+    # rb with a bounded unrolled plane-group count (rb*S/8) is the sweet
+    # spot. Drop to rb=8 for plane-rich matrices to bound compile time.
     G = max(S // 8, 1)
-    return 8 if G > 16 else 16
+    rb = 8 if G > 16 else 16
+    # VMEM guard: the vals and idx2 windows are rb*S*LW*4 B each and
+    # Mosaic double-buffers both; plane-rich packs (LU factors reach
+    # S in the thousands) must shrink rb (r3 on-chip finding: S=7376 at
+    # rb=8 allocated 2x57.6 MB windows and OOM'd the 128 MB VMEM).
+    # rb floor is 8: the (rb, LW) output block needs 8-divisible sublanes.
+    while rb > 8 and 4 * rb * S * LW * 4 > _WINDOW_VMEM_BUDGET:
+        rb //= 2
+    return rb
+
+
+# vals+idx2 stream windows, double-buffered (4 copies of rb*S*LW f32),
+# against the kernels' 110 MB vmem_limit minus resident x and spill room
+_WINDOW_VMEM_BUDGET = 96 * 1024 * 1024
 
 
 def cwell_spmv_pallas(A: CWELL, x: jax.Array, rb: int | None = None):
@@ -241,8 +253,11 @@ def cwell_spmv_pallas(A: CWELL, x: jax.Array, rb: int | None = None):
         return None
     if A.planes % 8 != 0:
         return None
+    rb_eff = rb if rb is not None else _pick_rb(A.planes)
+    if 4 * rb_eff * A.planes * LW * 4 > _WINDOW_VMEM_BUDGET:
+        return None  # plane-rich beyond VMEM even at rb=1 → XLA path
     y = _cwell_spmv_impl(A.vals, A.idx2, A.srow, x, shape=A.shape,
-                         rb=rb if rb is not None else _pick_rb(A.planes),
+                         rb=rb_eff,
                          group=getattr(A, "group", 1))
     return y.astype(out_dtype)
 
@@ -302,7 +317,7 @@ def _cwell_kernel_df(srow_ref, xh2d_ref, xl2d_ref, valsh_ref, valsl_ref,
     def rb_body(rb, _):
         z = jnp.zeros((8, LW), jnp.float32)
         _, s_acc, c_acc = lax_.fori_loop(0, G, g_body, (rb, z, z),
-                                         unroll=G)
+                                         unroll=G if G <= 384 else 1)
         # compensated cross-sublane fold (a plain f32 sum here would
         # reintroduce f32 rounding and waste the twoSum work above)
         st = s_acc[0, :]
@@ -350,7 +365,7 @@ def _cwell_kernel_df_gq(srowq_ref, xh2d_ref, xl2d_ref, valsh_ref,
     def rb_body(rb, _):
         z = jnp.zeros((8, LW), jnp.float32)
         _, s_acc, c_acc = lax_.fori_loop(0, G, g_body, (rb, z, z),
-                                         unroll=G)
+                                         unroll=G if G <= 384 else 1)
         st = s_acc[0, :]
         ct = c_acc[0, :]
         for i in range(1, 8):
@@ -620,6 +635,19 @@ def cwell_spmm_pallas(A: CWELL, B: jax.Array, rb: int | None = None):
     if runs > 64:
         return None  # unrolled matmul chain gets too long
     rb_eff = rb if rb is not None else (2 if runs > 16 else 4)
+    if k > kt:
+        # Mosaic requires the k-block to be 128-divisible or equal to the
+        # full array dim; for k past the VMEM kt budget, solve kt-wide
+        # column slabs so each call sees a full-width (legal) block
+        # (r3 on-chip finding: k=128 at m=262144 failed lowering).
+        outs = [
+            _cwell_spmm_impl(A.vals, A.idx2, A.srow,
+                             jax.lax.slice_in_dim(B, j, min(j + kt, k),
+                                                  axis=1),
+                             shape=A.shape, rb=rb_eff, kt=kt, group=group)
+            for j in range(0, k, kt)
+        ]
+        return jnp.concatenate(outs, axis=1)
     return _cwell_spmm_impl(A.vals, A.idx2, A.srow, B, shape=A.shape,
                             rb=rb_eff, kt=kt, group=group)
 
@@ -654,11 +682,14 @@ def cwell_spmv_pallas_df(A: CWELL, x: jax.Array, rb: int | None = None):
         return None
     if A.planes % 8 != 0:
         return None
+    rb_eff = rb if rb is not None else _pick_rb(A.planes)
+    # three streamed windows here (valsh, valsl, idx2), double-buffered
+    if 6 * rb_eff * A.planes * LW * 4 > _WINDOW_VMEM_BUDGET:
+        return None
     if isinstance(A.vals, jax.core.Tracer):
         vh, vl = _split_df(A.vals)
     else:
         vh, vl = _cached_df_split(A)
     return _cwell_spmv_df_impl(vh, vl, A.idx2, A.srow, x, shape=A.shape,
-                               rb=rb if rb is not None else
-                               _pick_rb(A.planes),
+                               rb=rb_eff,
                                group=getattr(A, "group", 1))

@@ -256,7 +256,9 @@ def _build_block_cwell(A, csr_to_cwell):
                       jnp.asarray(rows[mask].astype(np.int32)),
                       jnp.asarray(cols[mask].astype(np.int32)),
                       A.shape).tocsr()
-        W = csr_to_cwell(csr)
+        from tpu_sparse.sparse.cwell import AUTO_GROUP
+
+        W = csr_to_cwell(csr, group=AUTO_GROUP)
     except Exception:
         W = None
     return W

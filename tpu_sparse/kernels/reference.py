@@ -28,6 +28,14 @@ def csr_spmv(A: CSR, x: jax.Array) -> jax.Array:
     return jax.ops.segment_sum(prod, rows, num_segments=A.shape[0])
 
 
+def csr_spmv_transpose(A: CSR, x: jax.Array) -> jax.Array:
+    """y = Aᵀ @ x without materializing the transpose: scatter-add of
+    row-weighted values onto column indices."""
+    rows = A.row_ids()
+    prod = A.data * x[rows]
+    return jnp.zeros(A.shape[1], dtype=prod.dtype).at[A.indices].add(prod)
+
+
 def dia_spmv(A: DIA, x: jax.Array) -> jax.Array:
     """y[i] = sum_d data[d, i] * x[i + off_d] with static shifts (no gather)."""
     n, m = A.shape

@@ -163,6 +163,16 @@ def _cols_sorted(indptr: np.ndarray, cols: np.ndarray) -> bool:
     return not bad.any()
 
 
+# Default plane-group quantum for AUTO-pack sites (to_tpu_operator, router
+# repack, distributed sharding, bench). Measured on chip
+# (bench_tools/tpu_session2.py, r3; docs/performance.md): sharing one
+# window row per aligned Q-plane run halves the dynamic x-row copies and
+# Q=2 won on every tested matrix — 27-pt stencil CSR SpMV 40.5 -> 56.1
+# Gnnz/s, SpMM k=32 10.2 -> 16.3 Gnnz/s; random-1% n=16384 SpMV
+# 19.0 -> 22.0 (Q=4 best there, 24.4). Explicit group= overrides.
+AUTO_GROUP = 2
+
+
 def csr_to_cwell(A: CSR, *, plane_pad: int = 8,
                  group: int = 1) -> CWELL:
     """Pack a CSR matrix into CWELL (host-side, vectorized numpy).

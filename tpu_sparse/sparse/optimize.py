@@ -74,14 +74,19 @@ def to_tpu_operator(A, *, max_diags: int = 64, block_size: int = 8,
     else:
         _SEG_COLS = 1 << 20
     if m > _X_CAP:
-        seg = csr_to_cwell_segments(Ac, seg_cols=_SEG_COLS)
+        from tpu_sparse.sparse.cwell import AUTO_GROUP
+
+        seg = csr_to_cwell_segments(Ac, seg_cols=_SEG_COLS,
+                                    group=AUTO_GROUP)
         if seg.fill >= min_cwell_fill * 0.5:
             if verbose:
                 print(f"[to_tpu_operator] CWELLSeg fill={seg.fill:.2f} "
                       f"segments={len(seg.segments)}")
             return seg
     else:
-        cw = csr_to_cwell(Ac)
+        from tpu_sparse.sparse.cwell import AUTO_GROUP
+
+        cw = csr_to_cwell(Ac, group=AUTO_GROUP)
         if cw.fill >= min_cwell_fill:
             if verbose:
                 print(f"[to_tpu_operator] CWELL fill={cw.fill:.2f} "
