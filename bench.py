@@ -9,7 +9,12 @@ speed-of-light"). Extras report the CG time-to-tolerance comparison against
 the reference's RTX 4090 fp64 protocol (BASELINE.md: CG 500x500 = 46.2 ms,
 tol=1e-8; README.md:632-634). vs_baseline for the headline is the measured
 fraction of the v5e HBM speed-of-light bound (~820 GB/s) — >0.7 means the
-kernel is within 30% of the hardware roofline.
+kernel is within 30% of the hardware roofline. NOTE (r3): byte accounting
+for the x-resident kernel counts data stream + y write only (x stays in
+VMEM across the chained loop), which is stricter than the r1/r2 3-vector
+accounting — compare vs_baseline across rounds with that in mind;
+`spmv_27pt_frac_of_measured_hbm` (vs the same-session stream-triad
+ceiling) is the round-robust roofline number.
 
 Methodology: the remote TPU runtime has ~27 ms fixed dispatch latency per
 program launch, so per-op cost is measured as the slope between chained
@@ -20,6 +25,7 @@ and on-device time (slope).
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -71,6 +77,10 @@ def wall_time(fn, *args, warmup=2, iters=5):
     return float(np.median(times))
 
 
+def _progress(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     from tpu_sparse.kernels import spmv
     from tpu_sparse.solvers import cg_refined
@@ -79,6 +89,7 @@ def main():
     rng = np.random.default_rng(0)
     extra = {"backend": jax.default_backend()}
 
+    _progress("headline spmv")
     # --- headline: 27-pt 3-D Poisson SpMV, f32, n = 128^3, measured on
     # the extended-space operator (the pad-free kernel the router's fast
     # path actually uses) ---
@@ -113,7 +124,14 @@ def main():
         v = v0
         dt = per_iter_time(lambda y: spmv(A3, y) * scale, v)
     gnnz = A3.nnz / dt / 1e9
-    bytes_per = A3.nnz * 4 + 3 * n3 * 4
+    if extra.get("spmv_27pt_kernel") == "resident":
+        # x lives in VMEM across the chained loop (that is the point of
+        # the resident variant), so per-iteration HBM traffic is the
+        # data stream + the y write; counting 3 vector passes here
+        # over-reports bandwidth past the physical roofline
+        bytes_per = A3.nnz * 4 + n3 * 4
+    else:
+        bytes_per = A3.nnz * 4 + 3 * n3 * 4
     bw = bytes_per / dt / 1e9
     frac_sol = bw / HBM_SPEED_OF_LIGHT_GBS
     extra.update({
@@ -122,6 +140,7 @@ def main():
         "spmv_27pt_gbs": round(bw, 1),
     })
 
+    _progress("hbm triad")
     # --- measured HBM roofline: stream-triad probe (y = a*x + y over a
     # working set far past VMEM). Nominal 820 GB/s is a paper number; the
     # achievable copy bandwidth on a real chip is lower, and the kernel
@@ -130,10 +149,24 @@ def main():
         big = jnp.asarray(
             rng.standard_normal(64 * 1024 * 1024).astype(np.float32))
         a_c = np.float32(1.000001)
-        # a*y + big (not a*big + y): the latter is loop-invariant and XLA
-        # would hoist it, collapsing the triad to a 2-vector axpy
-        dt_tri = per_iter_time(lambda y: a_c * y + big, big, K1=5, K2=50)
-        # triad moves 3 vectors (read x, read y, write y) of 256 MB
+
+        # `big` must be a jit ARGUMENT: closed over, it becomes a 256 MB
+        # constant baked into the remote compile upload (HTTP 413).
+        # a*z + big (not a*big + z): the latter is loop-invariant and XLA
+        # would hoist it, collapsing the triad to a 2-vector axpy.
+        def _triad_time(K, reps=5):
+            g = jax.jit(lambda x, y: jnp.sum(lax.fori_loop(
+                0, K, lambda i, z: a_c * z + y, x)))
+            float(g(big, big))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(g(big, big))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        dt_tri = max((_triad_time(50) - _triad_time(5)) / 45, 1e-9)
+        # triad moves 3 vectors (read z, read y, write z) of 256 MB
         hbm_meas = 3 * big.nbytes / dt_tri / 1e9
         extra.update({
             "hbm_triad_gbs_measured": round(hbm_meas, 1),
@@ -143,6 +176,7 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["hbm_triad_error"] = str(e)[:120]
 
+    _progress("cg tridiag500")
     # --- reference-protocol CG: fp64-accurate solve, tridiagonal n=500 ---
     jax.config.update("jax_enable_x64", True)
     A = generators.tridiagonal(500)
@@ -160,6 +194,7 @@ def main():
         "cg_residual": float(res),
     })
 
+    _progress("gmres/direct 500")
     # --- the reference's other two headline rows at n=500 (BASELINE.md:
     # GMRES 515.7 ms, cuDSS direct 21.4 ms on the RTX 4090) ---
     try:
@@ -181,7 +216,7 @@ def main():
         # n=500 is a ~100 us op; the chain must be long enough that the
         # K2-K1 delta (100 iters) clears the ~1 ms dispatch jitter.
         t_d_dev = per_iter_time(lambda y: direct_solve(A, y), b,
-                                K1=10, K2=110)
+                                K1=10, K2=210)
         extra.update({
             "gmres_tridiag500_wall_ms": round(t_g * 1e3, 2),
             "gmres_tridiag500_vs_rtx4090": round(515.7 / (t_g * 1e3), 1),
@@ -203,6 +238,42 @@ def main():
     except Exception as e:  # pragma: no cover - never fail the bench
         extra["headline500_error"] = str(e)[:120]
 
+    _progress("general direct")
+    # --- general sparse direct (SparseLU: cuDSS-capability class for
+    # arbitrary patterns; host factor cached at setup, jitted on-device
+    # block sweeps). n=16384 skewed 2-D Poisson as general CSR ---
+    try:
+        import scipy.sparse as sp
+
+        from tpu_sparse.api.solver import SparseSolver
+        from tpu_sparse.sparse.convert import csr_from_arrays, to_csr
+
+        jax.config.update("jax_enable_x64", False)
+        Ag0 = to_csr(generators.poisson2d(128, dtype=np.float32))
+        Asp = sp.csr_matrix((np.asarray(Ag0.data), np.asarray(Ag0.indices),
+                             np.asarray(Ag0.indptr)), shape=Ag0.shape)
+        Asp = (Asp + 0.1 * sp.triu(Asp, k=1)).tocsr().astype(np.float32)
+        Agen = csr_from_arrays(Asp.data, Asp.indices, Asp.indptr, Asp.shape)
+        xg_t = rng.standard_normal(Agen.shape[0]).astype(np.float32)
+        bgen = jnp.asarray((Asp @ xg_t).astype(np.float32))
+        sv = SparseSolver()
+        t0 = time.perf_counter()
+        xg1, rg1 = sv.solve(Agen, bgen, method="direct")
+        t_setup = time.perf_counter() - t0
+        t_rep = wall_time(lambda: sv.solve(Agen, bgen, method="direct")[0],
+                          warmup=1, iters=3)
+        extra.update({
+            "general_direct_n": int(Agen.shape[0]),
+            "general_direct_setup_s": round(t_setup, 1),
+            "general_direct_repeat_ms": round(t_rep * 1e3, 1),
+            "general_direct_converged": bool(rg1.converged),
+            "general_direct_rel_residual": float(rg1.residual),
+        })
+        del Agen, bgen, Asp
+    except Exception as e:  # pragma: no cover
+        extra["general_direct_error"] = str(e)[:120]
+
+    _progress("cwell spmv")
     # --- general-structure (CWELL) Pallas SpMV: the cuSPARSE-capability
     # path for arbitrary matrices, measured on the 27-pt system packed as
     # a general CSR (no stencil structure assumed) ---
@@ -211,10 +282,12 @@ def main():
         from tpu_sparse.sparse.convert import to_csr
         from tpu_sparse.sparse.cwell import csr_to_cwell
 
+        from tpu_sparse.sparse.cwell import AUTO_GROUP
+
         cpu0 = jax.devices("cpu")[0]
         with jax.default_device(cpu0):
             Wg = csr_to_cwell(to_csr(generators.poisson3d_27pt(
-                64, dtype=np.float32)))
+                64, dtype=np.float32)), group=AUTO_GROUP)
         Wg = jax.device_put(Wg, jax.devices()[0])
         vg = jnp.asarray(rng.standard_normal(
             Wg.shape[0]).astype(np.float32))
@@ -229,6 +302,7 @@ def main():
     except Exception as e:  # pragma: no cover - never fail the bench
         extra["cwell_general_spmv_error"] = str(e)[:120]
 
+    _progress("cwell spmm")
     # --- CWELL SpMM (one-hot MXU) + block CG vs vmapped batch ---
     try:
         from tpu_sparse.kernels import reference as _kref2
@@ -277,6 +351,7 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["block_cg_error"] = str(e)[:120]
 
+    _progress("cg 110M")
     # --- >100M-nnz 27-pt CG time-to-tol (north-star target) ---
     try:
         jax.config.update("jax_enable_x64", False)
@@ -307,6 +382,7 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["cg_110M_error"] = str(e)[:120]
 
+    _progress("f64 spmv")
     # --- f64 SpMV (reference defaults to fp64 —
     # torch_sparse_linalg.py:57-58). Primary path: the double-f32
     # compensated Pallas kernel (ExtendedStencilOperatorDF, ~2^-45
@@ -348,6 +424,7 @@ def main():
     finally:
         jax.config.update("jax_enable_x64", False)
 
+    _progress("weak scaling")
     # --- weak-scaling sweep on the virtual CPU mesh (subprocess: the
     # device count must be fixed before backend init). On one host this
     # validates collective mechanics/communication volume, not hardware

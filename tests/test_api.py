@@ -403,3 +403,26 @@ def test_benchmark_result_memory_field():
     assert hasattr(r, "memory_used_mb")
     if r.memory_used_mb is not None:
         assert r.memory_used_mb >= 0.0
+
+
+def test_multi_rhs_cg_batch_default_and_block_option():
+    """Measured r3: vmapped batch CG beats block CG for independent RHS
+    (0.69-0.79x wall on chip); the router defaults to batch when no
+    preconditioner is supplied, keeps block CG under M (shared Krylov
+    space pays there), and accepts explicit multi_rhs= overrides."""
+    from tpu_sparse.api.solver import SparseSolver
+
+    s = SparseSolver()
+    A = generators.poisson2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(41)
+    Xt = np.asarray(rng.standard_normal((n, 3)))
+    B = jnp.asarray(np.asarray(A.todense()) @ Xt)
+    for kw in ({}, {"multi_rhs": "batch"}, {"multi_rhs": "block"},
+               {"M": "jacobi"}):
+        X, r = s.solve(A, B, method="cg", tol=1e-8, **kw)
+        assert r.converged, kw
+        np.testing.assert_allclose(np.asarray(X), Xt, rtol=1e-4,
+                                   atol=1e-6)
+    with pytest.raises(ValueError, match="multi_rhs"):
+        s.solve(A, B, method="cg", multi_rhs="nope")

@@ -489,10 +489,31 @@ class SparseSolver:
             X, info, rel = _jitted_batch_direct()(A, B)
             iters = None
         elif method in ("cg", "cg_sr"):
-            # block CG already fuses reductions across the RHS block, so
-            # the single-reduction variant has nothing extra to offer here
-            X, infos, iters, res = block_cg(A, B, X0, tol=tol, atol=atol,
-                                            maxiter=maxiter, M=M)
+            # Measured on chip (r3, tpu_session2 + bench): for INDEPENDENT
+            # RHS the vmapped batch CG beats block CG (0.69-0.79x wall) —
+            # the shared Krylov space buys nothing there while the kxk
+            # Gram solves cost every iteration. Preconditioned solves keep
+            # block CG (spectrally clustered => shared space pays).
+            multi_rhs = kwargs.pop("multi_rhs", "auto")
+            if multi_rhs not in ("auto", "block", "batch"):
+                raise ValueError(
+                    f"unknown multi_rhs '{multi_rhs}'; use 'auto', "
+                    "'block', or 'batch'")
+            use_block = (multi_rhs == "block"
+                         or (multi_rhs == "auto" and M is not None))
+            if use_block:
+                # block CG already fuses reductions across the RHS block,
+                # so the single-reduction variant adds nothing here
+                X, infos, iters, res = block_cg(A, B, X0, tol=tol,
+                                                atol=atol, maxiter=maxiter,
+                                                M=M)
+            else:
+                from tpu_sparse.solvers import batch_cg
+
+                X, infos, iters_v, res = batch_cg(A, B, X0, tol=tol,
+                                                  atol=atol,
+                                                  maxiter=maxiter, M=M)
+                iters = jnp.max(iters_v)
             info = jnp.where(jnp.all(infos == 0), 0, -1).astype(jnp.int32)
             bn = jnp.linalg.norm(B, axis=0)
             rel = jnp.max(res / jnp.where(bn > 0, bn, 1.0))
