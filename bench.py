@@ -373,6 +373,22 @@ def main():
             "cg_110M_gnnz_per_s_effective": round(
                 Abig.nnz * int(it_b) / t_big / 1e9, 1),
         })
+        # the router's extended-space fast path (pad-free resident
+        # Pallas SpMV inside the while-loop) — what solve() users get
+        from tpu_sparse.api.solver import SparseSolver
+
+        sbig = SparseSolver()
+        t_ext = wall_time(
+            lambda: sbig.solve(Abig, bb, method="cg", tol=1e-6,
+                               maxiter=500)[0], warmup=1, iters=3)
+        _, r_ext = sbig.solve(Abig, bb, method="cg", tol=1e-6,
+                              maxiter=500)
+        extra.update({
+            "cg_110M_router_ext_ms": round(t_ext * 1e3, 1),
+            "cg_110M_router_ext_converged": bool(r_ext.converged),
+            "cg_110M_router_ext_gnnz_per_s_effective": round(
+                Abig.nnz * (r_ext.iterations or 1) / t_ext / 1e9, 1),
+        })
         from tpu_sparse.bench.harness import device_peak_memory_mb
 
         peak_mb = device_peak_memory_mb()

@@ -93,6 +93,12 @@ class TPUValidationRunner:
         x, r = SparseSolver().solve(A, b, method="amg", tol=1e-8)
         self._check("amg forward", r.converged and r.residual < 1e-6,
                     f"iters={r.iterations}")
+        # stationary AMG-as-solver (AMGX amgx_amg parity, r3)
+        x2, r2 = SparseSolver().solve(A, b, method="amg",
+                                      accelerant=None, tol=1e-8,
+                                      maxiter=200)
+        self._check("amg stationary solver", r2.converged,
+                    f"iters={r2.iterations}")
 
     def run_direct(self):
         from tpu_sparse.direct import direct_solve_full_diff
@@ -117,6 +123,34 @@ class TPUValidationRunner:
         relw = float(resw) / float(jnp.linalg.norm(bw))
         self._check("direct block-PCR banded", int(infow) == 0
                     and relw < 1e-10, f"rel={relw:.1e}")
+
+    def run_sparse_lu(self):
+        # general-pattern direct solve: host factor at setup + jitted
+        # on-device block sweeps (r3); pattern has no banded structure
+        import scipy.sparse as sp
+
+        from tpu_sparse.direct import SparseLU, sparse_lu_solve_diff
+        from tpu_sparse.sparse import generators
+        from tpu_sparse.sparse.convert import csr_from_arrays, to_csr
+
+        A0 = to_csr(generators.poisson2d(48, dtype=np.float32))
+        n = A0.shape[0]
+        Asp = sp.csr_matrix((np.asarray(A0.data), np.asarray(A0.indices),
+                             np.asarray(A0.indptr)), shape=A0.shape)
+        Asp = (Asp + 0.1 * sp.triu(Asp, k=1)).tocsr().astype(np.float32)
+        Ac = csr_from_arrays(Asp.data, Asp.indices, Asp.indptr, Asp.shape)
+        lu = SparseLU.factor(Ac)
+        xt = np.random.default_rng(7).standard_normal(n).astype(np.float32)
+        b = jnp.asarray((Asp @ xt).astype(np.float32))
+        x = jax.jit(lambda l, rhs: l.solve(rhs))(lu, b)
+        rel = float(jnp.linalg.norm(
+            b - jnp.asarray((Asp @ np.asarray(x)).astype(np.float32)))
+            / jnp.linalg.norm(b))
+        self._check("sparse LU jitted solve", rel < 1e-4,
+                    f"rel={rel:.1e} bdepth={lu.depth_l}/{lu.depth_u}")
+        g = jax.grad(lambda rhs: jnp.sum(
+            sparse_lu_solve_diff(lu, rhs)))(b)
+        self._check("sparse LU grad b", self._grad_ok(g))
 
     def run_pallas(self):
         from tpu_sparse.kernels import reference as kref
@@ -252,6 +286,7 @@ class TPUValidationRunner:
         self.run_mixed()
         self.run_amg()
         self.run_direct()
+        self.run_sparse_lu()
         self.run_pallas()
         self.run_df64()
         self.run_cwell_spmm()
