@@ -137,23 +137,31 @@ def main():
 
         dt = _try_kernel(_Plain, "xla_reference")
     if dt is None:
-        dt = 1.0  # every rung failed twice; errors are in extra
-    gnnz = A3.nnz / dt / 1e9
-    if extra.get("spmv_27pt_kernel") == "resident":
-        # x lives in VMEM across the chained loop (that is the point of
-        # the resident variant), so per-iteration HBM traffic is the
-        # data stream + the y write; counting 3 vector passes here
-        # over-reports bandwidth past the physical roofline
-        bytes_per = A3.nnz * 4 + n3 * 4
+        # every rung failed twice: do NOT synthesize a timing — mark the
+        # failure explicitly and null the derived headline metrics
+        # (errors per rung are already in extra)
+        extra["spmv_27pt_failed"] = True
+        gnnz = None
+        frac_sol = None
     else:
-        bytes_per = A3.nnz * 4 + 3 * n3 * 4
-    bw = bytes_per / dt / 1e9
-    frac_sol = bw / HBM_SPEED_OF_LIGHT_GBS
-    extra.update({
-        "spmv_27pt_n": n3,
-        "spmv_27pt_us": round(dt * 1e6, 1),
-        "spmv_27pt_gbs": round(bw, 1),
-    })
+        gnnz = A3.nnz / dt / 1e9
+    bw = None
+    if dt is not None:
+        if extra.get("spmv_27pt_kernel") == "resident":
+            # x lives in VMEM across the chained loop (that is the point
+            # of the resident variant), so per-iteration HBM traffic is
+            # the data stream + the y write; counting 3 vector passes
+            # here over-reports bandwidth past the physical roofline
+            bytes_per = A3.nnz * 4 + n3 * 4
+        else:
+            bytes_per = A3.nnz * 4 + 3 * n3 * 4
+        bw = bytes_per / dt / 1e9
+        frac_sol = bw / HBM_SPEED_OF_LIGHT_GBS
+        extra.update({
+            "spmv_27pt_n": n3,
+            "spmv_27pt_us": round(dt * 1e6, 1),
+            "spmv_27pt_gbs": round(bw, 1),
+        })
 
     _progress("hbm triad")
     # --- measured HBM roofline: stream-triad probe (y = a*x + y over a
@@ -183,10 +191,10 @@ def main():
         dt_tri = max((_triad_time(50) - _triad_time(5)) / 45, 1e-9)
         # triad moves 3 vectors (read z, read y, write z) of 256 MB
         hbm_meas = 3 * big.nbytes / dt_tri / 1e9
-        extra.update({
-            "hbm_triad_gbs_measured": round(hbm_meas, 1),
-            "spmv_27pt_frac_of_measured_hbm": round(bw / hbm_meas, 3),
-        })
+        extra["hbm_triad_gbs_measured"] = round(hbm_meas, 1)
+        if bw is not None:
+            extra["spmv_27pt_frac_of_measured_hbm"] = round(
+                bw / hbm_meas, 3)
         del big
     except Exception as e:  # pragma: no cover
         extra["hbm_triad_error"] = str(e)[:120]
@@ -385,11 +393,54 @@ def main():
         xg, info_b, it_b, res_b = gbig(Abig, bb)
         extra.update({
             "cg_110M_nnz": int(Abig.nnz),
-            "cg_110M_ms": round(t_big * 1e3, 1),
+            "cg_110M_while_ms": round(t_big * 1e3, 1),
             "cg_110M_iters": int(it_b),
             "cg_110M_converged": bool(int(info_b) == 0),
+        })
+        best_t, best_it, best_info, best_kernel = (
+            t_big, int(it_b), info_b, "while_loop")
+
+        # fused whole-iteration Pallas CG (r4): x/r/p live in VMEM, the
+        # only per-iteration HBM traffic is the diagonal stream; block
+        # size tuned to the measured iteration count after a first solve
+        try:
+            from tpu_sparse.kernels.pallas_cg import (
+                fused_cg_ext, make_fused_operator, pick_block_iters,
+                supports_fused_cg)
+
+            opf = make_fused_operator(Abig)
+            if opf is not None and supports_fused_cg(opf):
+                def _fused(K):
+                    return jax.jit(lambda o, rhs: fused_cg_ext(
+                        o, rhs, tol=1e-6, maxiter=500, block_iters=K))
+
+                g0 = _fused(16)
+                _, info_f0, it_f0, _ = jax.block_until_ready(g0(opf, bb))
+                Kt = pick_block_iters(int(it_f0))
+                gf = _fused(Kt)
+                t_f = wall_time(gf, opf, bb, warmup=1, iters=3)
+                xf, info_f, it_f, res_f = gf(opf, bb)
+                true_rel = float(jnp.linalg.norm(bb - Abig @ xf)
+                                 / jnp.linalg.norm(bb))
+                extra.update({
+                    "cg_110M_fused_ms": round(t_f * 1e3, 1),
+                    "cg_110M_fused_iters": int(it_f),
+                    "cg_110M_fused_true_rel_res": true_rel,
+                    "cg_110M_fused_C": int(opf.C),
+                    "cg_110M_fused_K": int(Kt),
+                })
+                if int(info_f) == 0 and true_rel <= 2e-6 \
+                        and t_f < best_t:
+                    best_t, best_it, best_info, best_kernel = (
+                        t_f, int(it_f), info_f, "fused_pallas")
+        except Exception as e:
+            extra["cg_110M_fused_error"] = str(e)[:120]
+
+        extra.update({
+            "cg_110M_ms": round(best_t * 1e3, 1),
+            "cg_110M_kernel": best_kernel,
             "cg_110M_gnnz_per_s_effective": round(
-                Abig.nnz * int(it_b) / t_big / 1e9, 1),
+                Abig.nnz * best_it / best_t / 1e9, 1),
         })
         # the router's extended-space fast path (pad-free resident
         # Pallas SpMV inside the while-loop) — what solve() users get
@@ -526,12 +577,45 @@ def main():
 
     out = {
         "metric": "spmv_27pt_poisson3d_gnnz_per_s",
-        "value": round(gnnz, 2),
+        "value": round(gnnz, 2) if gnnz is not None else None,
         "unit": "Gnnz/s",
-        "vs_baseline": round(frac_sol, 3),
+        "vs_baseline": round(frac_sol, 3) if frac_sol is not None else None,
         "extra": extra,
     }
-    print(json.dumps(out))
+
+    # Artifact protocol (VERDICT r3 weak #1): the driver captures only the
+    # LAST ~2000 chars of stdout, so the full dump goes to a file (and
+    # stderr for the log) while the final stdout line is a COMPACT summary
+    # holding the headline + the round's key rows.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out), file=sys.stderr, flush=True)
+    except Exception:  # pragma: no cover
+        pass
+
+    _KEY_ROWS = (
+        "backend", "spmv_27pt_kernel", "spmv_27pt_us", "spmv_27pt_gbs",
+        "spmv_27pt_frac_of_measured_hbm", "hbm_triad_gbs_measured",
+        "spmv_27pt_failed",
+        "cg_tridiag500_wall_ms", "cg_tridiag500_vs_rtx4090",
+        "gmres_tridiag500_wall_ms", "gmres_tridiag500_vs_rtx4090",
+        "direct_tridiag500_wall_ms", "direct_tridiag500_vs_rtx4090",
+        "cg_110M_ms", "cg_110M_iters", "cg_110M_converged",
+        "cg_110M_gnnz_per_s_effective", "cg_110M_kernel",
+        "amg_pcg_110M_ms", "amg_pcg_110M_iters", "amg_pcg_110M_converged",
+        "bicgstab_110M_ms", "bicgstab_110M_converged",
+        "spmv_f64_df32_gnnz_per_s", "router_f64_spmv_speedup_vs_xla",
+        "cwell_general_spmv_gnnz_per_s",
+    )
+    compact = dict(out)
+    compact["extra"] = {k: extra[k] for k in _KEY_ROWS if k in extra}
+    compact["extra"]["errors"] = sorted(
+        k for k in extra if k.endswith("_error"))[:6]
+    compact["full_detail"] = "bench_full.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

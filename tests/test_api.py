@@ -3,6 +3,13 @@ reporting, solver construction, explicit-backend routing, auto selection
 (:129-154), shortcut methods, module-level convenience functions, error
 handling for invalid backend (:314-344)."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +39,26 @@ def test_availability_report():
     assert avail["direct"]
     assert avail["distributed"]  # 8 virtual CPU devices in conftest
     assert set(get_available_backends()) == {"krylov", "amg", "direct"}
+
+
+def test_amg_probe_is_functional(monkeypatch):
+    """check_amg_available runs a live setup + V-cycle (reference
+    availability.py:58-105 pattern): a broken AMG setup must report
+    unavailable, not fail later at first use."""
+    import tpu_sparse.precond.amg as amg_mod
+    from tpu_sparse.api import availability as av
+
+    def boom(A, **kw):
+        raise RuntimeError("broken toolchain")
+
+    av.check_amg_available.cache_clear()
+    monkeypatch.setattr(amg_mod, "amg_preconditioner", boom)
+    try:
+        assert av.check_amg_available() is False
+    finally:
+        monkeypatch.undo()
+        av.check_amg_available.cache_clear()
+    assert av.check_amg_available() is True
 
 
 def test_solver_construction():
@@ -426,3 +453,9 @@ def test_multi_rhs_cg_batch_default_and_block_option():
                                    atol=1e-6)
     with pytest.raises(ValueError, match="multi_rhs"):
         s.solve(A, B, method="cg", multi_rhs="nope")
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

@@ -4,6 +4,13 @@ Exceeds the reference's gradient checks (existence/finiteness only,
 test_gpu_validation.py:59-69) with finite-difference verification, per
 SURVEY.md §4's test-plan note."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -244,3 +251,9 @@ def test_bicgstab_callable_pallas_explicit_transpose():
         np.testing.assert_allclose(float(g[3]), float(fd), rtol=2e-2)
     finally:
         pallas_cwell._INTERPRET = False
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

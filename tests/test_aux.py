@@ -1,5 +1,12 @@
 """Auxiliary subsystems: checkpointing, LDC plot/state, inverse demo."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 
 import jax.numpy as jnp
@@ -87,3 +94,9 @@ def test_operand_cache_content_invalidation():
     assert r2.converged
     np.testing.assert_allclose(np.asarray(x2) * 3.0, np.asarray(x1),
                                rtol=1e-4, atol=1e-6)
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

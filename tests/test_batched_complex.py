@@ -1,5 +1,12 @@
 """Batched (vmapped) solves and complex-dtype support."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -162,3 +169,9 @@ def test_batch_solvers_jit_traced_matrix():
     X2, infos2, _, _ = g(A, B)
     rel2 = float(jnp.linalg.norm(B - A @ X2) / jnp.linalg.norm(B))
     assert rel2 < 1e-4
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

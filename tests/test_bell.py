@@ -1,5 +1,12 @@
 """BELL (block-ELL) container + kernel tests."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,3 +102,9 @@ def test_bell_spmm_pallas_interpret(rng, monkeypatch):
     Y2 = pb._bell_spmm_impl(bell.blocks, bell.indices, jnp.asarray(B2),
                             shape=bell.shape)
     np.testing.assert_allclose(np.asarray(Y2), A @ B2, rtol=2e-4, atol=2e-4)
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

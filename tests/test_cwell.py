@@ -3,6 +3,13 @@ the CSR oracle, XLA reference kernel, and the Pallas kernel in interpret
 mode. The general-structure SpMV capability row of SURVEY.md §2.2
 (reference: torch.sparse/cuSPARSE, solver.py:365)."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -505,3 +512,9 @@ def test_cwell_spmm_wide_k_column_chunking():
             assert rel < 1e-5, (k, rel)
     finally:
         pc._INTERPRET, pc._B_VMEM_ELEMS = old_interp, old_budget
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

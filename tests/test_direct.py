@@ -2,6 +2,13 @@
 direct solve with residual < 1e-10 (:141), small Poisson (:145-179),
 autodiff w.r.t. b (:181-238)."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -298,3 +305,9 @@ class TestSparseLU:
         np.testing.assert_allclose(np.asarray(x), xt, rtol=1e-9,
                                    atol=1e-9)
         assert float(rel) < 1e-10
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

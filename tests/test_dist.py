@@ -4,6 +4,13 @@ The reference cannot express any of this (no distributed code, SURVEY.md
 §2.3); validated here against single-device oracles, per the BASELINE.json
 north star."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -391,3 +398,9 @@ def test_comm_model_measured_collectives_and_efficiency():
     # reduction round vs CG's two
     assert per_iter_reduces["cg"] == 2
     assert per_iter_reduces["cg_sr"] == 1
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

@@ -5,6 +5,13 @@ The reference's Module A docstrings promise JAX-matching numerics
 Here we hold our from-scratch solvers to the same bar against JAX's own
 implementations, plus randomized SpMV fuzzing against scipy."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import jax.scipy.sparse.linalg as jsl
@@ -97,3 +104,9 @@ def test_dia_fuzz_random_offsets():
             dense[rows, rows + o] = data[d, i0:i1]
         np.testing.assert_allclose(got, dense @ x, rtol=1e-10, atol=1e-12,
                                    err_msg=f"trial {trial} offsets {offsets}")
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

@@ -3,6 +3,13 @@
 Checks: divergence-free flow after projection, physically-sensible lid-driven
 circulation, and solver-backend pluggability."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -80,3 +87,9 @@ def test_ldc_fsai_precond():
     s = LDCSolver(cfg)
     stats = s.run(5)
     assert stats["mass_residual"] < 1e-6
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

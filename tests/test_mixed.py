@@ -1,5 +1,12 @@
 """Mixed-precision defect-correction solver tests."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -188,3 +195,9 @@ def test_gmres_f32_qr_lstsq_floor():
     x, info, k, res = gmres_full(A, b, tol=1e-5, restart=300, maxiter=1)
     rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
     assert rel < 1e-4, f"f32 full-GMRES floor regressed: {rel}"
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

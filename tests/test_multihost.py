@@ -11,6 +11,13 @@ sharding (dist/partition.py), and the gspmd + halo SpMV paths end to
 end, not just single-process simulation.
 """
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import socket
@@ -86,3 +93,9 @@ def test_two_process_distributed_cg():
     it_h = by_pid[0]["results"]["halo"]["iters"]
     assert abs(it_g - it_h) <= 2, (it_g, it_h)
     assert np.isfinite(by_pid[0]["results"]["gspmd"]["rel_residual"])
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

@@ -1,6 +1,13 @@
 """Native (C++) AMG-setup kernel tests: build, correctness vs the scipy
 path, and end-to-end equivalent convergence."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import pytest
 
@@ -126,3 +133,9 @@ def test_cols_sorted_guard():
     assert not _cols_sorted(indptr, np.array([0, 7, 2, 1, 3], np.int64))
     # descending across a row boundary is fine
     assert _cols_sorted(indptr, np.array([5, 6, 9, 0, 1], np.int64))
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

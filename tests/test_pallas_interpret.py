@@ -3,6 +3,13 @@
 The compiled kernels only run on TPU; interpret mode validates the
 chunking/halo/double-buffer index math in CI without hardware."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -144,3 +151,9 @@ def test_df_kernel_resident_interpreted():
                                    rtol=1e-6, atol=1e-6)
     finally:
         jax.config.update("jax_enable_x64", was_x64)
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

@@ -5,6 +5,13 @@ iterations than plain CG (the reference validates AMGX by residuals only,
 test_module_b.py:283-289; we additionally assert the multigrid actually
 accelerates)."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -287,3 +294,9 @@ def test_string_preconditioner_names_in_router():
         s.solve(A, b, method="cg", M="nope")
     with pytest.raises(ValueError, match="matrix-free"):
         s.solve(lambda v: v, b, method="cg", M="fsai")
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

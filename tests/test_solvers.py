@@ -4,6 +4,13 @@ GMRES with restart (:163-195), matrix-free operators (:197-232),
 CG on 2-D Poisson (:234-271), batched/incremental GMRES parity (:273-315).
 Tolerance tiers follow SURVEY.md §4: iterative rel-residual < 1e-6."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -503,3 +510,9 @@ def test_cg_sr_maxiter_semantics():
     x2, info2, k2, _ = cg_sr_full(A, b, xs, tol=1e-6)
     assert int(k2) == 0
     np.testing.assert_array_equal(np.asarray(x2), np.asarray(xs))
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

@@ -3,6 +3,13 @@
 Mirrors the reference's fixture pattern: deterministic generators and
 b = A @ x_true ground truth (SURVEY.md §4)."""
 
+
+import os as _os
+import sys as _sys
+
+if __name__ == "__main__":  # allow `python tests/test_*.py` before package imports
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -213,3 +220,9 @@ def test_promoted_operator_fuzz_matches_csr_oracle():
         np.testing.assert_allclose(np.asarray(spmm(W, B)), S @
                                    np.asarray(B), rtol=2e-4, atol=2e-4,
                                    err_msg=f"case {i} {type(W).__name__}")
+
+
+if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
+    from _standalone import run_standalone
+
+    run_standalone(__file__)

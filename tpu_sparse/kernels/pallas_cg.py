@@ -50,8 +50,15 @@ _FUSED_E_CAP = 4 * 1024 * 1024 + 256 * 1024
 
 def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
                    rr_ref, ap_ref, sm_ref, sems, *, offsets, H, C,
-                   lo_chunks, hi_chunk, nchunks, K):
-    """One grid step = (iteration i, chunk j).
+                   lo_chunks, hi_chunk, nblocks, K):
+    """One grid step = (iteration i, INTERIOR chunk j ∈ [0, nblocks)).
+
+    The grid walks interior chunks only (absolute chunk jc = j +
+    lo_chunks): margin chunks of x/r/p are zero on entry and never
+    updated, and Ap margins are zeroed once at init, so the per-iteration
+    margin passes of the r3 layout are gone (~2/42 of grid steps at the
+    110M-nnz size). Window reads stay in bounds without clamping because
+    Wl ≥ H (both round w up, Wl to the coarser C grid).
 
     xi/ri/pi are the incoming state in HBM (memory_space=ANY): on real
     TPU an output VMEM buffer is NOT pre-loaded with aliased input
@@ -70,6 +77,7 @@ def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
     E = x_ref.shape[0]
+    nchunks = E // C
 
     @pl.when(lax_.bitwise_and(lax_.eq(i, i32(0)), lax_.eq(j, i32(0))))
     def _init():
@@ -81,22 +89,35 @@ def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
         for cp in cps:
             cp.wait()
 
-        # rr0 = <r, r> (chunked VMEM sweep; margins are zero)
+        # Ap margin chunks are never written by the interior grid: zero
+        # them once so the (VMEM-scratch, uninitialized) margins cannot
+        # leak into the r update sweeps
+        zeros_c = jnp.zeros((C,), jnp.float32)
+
+        def zmargin(c, _):
+            ap_ref[pl.ds(lax_.mul(c, i32(C)), C)] = zeros_c
+            return 0
+
+        lax_.fori_loop(0, lo_chunks, zmargin, 0)
+        lax_.fori_loop(hi_chunk, nchunks, zmargin, 0)
+
+        # rr0 = <r, r> (chunked VMEM sweep; margin chunks are zero and
+        # stay zero through the interior-only updates below, so every
+        # epilogue sweep runs over [lo_chunks, hi_chunk) only)
         def body(c, acc):
             seg = r_ref[pl.ds(lax_.mul(c, i32(C)), C)]
             return acc + jnp.sum(seg * seg)
 
-        sm_ref[0, 0] = lax_.fori_loop(0, nchunks, body, jnp.float32(0))
+        sm_ref[0, 0] = lax_.fori_loop(lo_chunks, hi_chunk, body,
+                                      jnp.float32(0))
 
     @pl.when(lax_.eq(j, i32(0)))
     def _reset_pap():
         sm_ref[0, 1] = jnp.float32(0)
 
     # ---- chunk pass: Ap chunk + pAp partial --------------------------------
-    is_margin = lax_.bitwise_or(lax_.lt(j, i32(lo_chunks)),
-                                lax_.ge(j, i32(hi_chunk)))
-    start = lax_.sub(lax_.mul(j, i32(C)), i32(H))
-    start = lax_.clamp(i32(0), start, i32(E - (C + 2 * H)))
+    jc = lax_.add(j, i32(lo_chunks))
+    start = lax_.sub(lax_.mul(jc, i32(C)), i32(H))
     start = pl.multiple_of(start, 1024)
     win = p_ref[pl.ds(start, C + 2 * H)]
     acc = None
@@ -104,16 +125,13 @@ def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
         seg = win[H + o: H + o + C]
         term = data_ref[d, :] * seg
         acc = term if acc is None else acc + term
-    acc = jnp.where(is_margin, 0.0, acc)
-    ap_ref[pl.ds(lax_.mul(j, i32(C)), C)] = acc
+    ap_ref[pl.ds(lax_.mul(jc, i32(C)), C)] = acc
 
-    @pl.when(jnp.logical_not(is_margin))
-    def _accum_pap():
-        pc = p_ref[pl.ds(lax_.mul(j, i32(C)), C)]
-        sm_ref[0, 1] = sm_ref[0, 1] + jnp.sum(pc * acc)
+    pc = p_ref[pl.ds(lax_.mul(jc, i32(C)), C)]
+    sm_ref[0, 1] = sm_ref[0, 1] + jnp.sum(pc * acc)
 
     # ---- iteration epilogue on the last chunk ------------------------------
-    @pl.when(lax_.eq(j, i32(nchunks - 1)))
+    @pl.when(lax_.eq(j, i32(nblocks - 1)))
     def _epilogue():
         rr = sm_ref[0, 0]
         pap = sm_ref[0, 1]
@@ -128,7 +146,7 @@ def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
             r_ref[sl] = rc
             return rr_acc + jnp.sum(rc * rc)
 
-        rr_new = lax_.fori_loop(0, nchunks, upd, jnp.float32(0))
+        rr_new = lax_.fori_loop(lo_chunks, hi_chunk, upd, jnp.float32(0))
         beta = jnp.where(rr > 0, rr_new / jnp.where(rr > 0, rr, 1.0), 0.0)
 
         def updp(c, _):
@@ -136,12 +154,12 @@ def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
             p_ref[sl] = r_ref[sl] + beta * p_ref[sl]
             return 0
 
-        lax_.fori_loop(0, nchunks, updp, 0)
+        lax_.fori_loop(lo_chunks, hi_chunk, updp, 0)
         sm_ref[0, 0] = rr_new
         sm_ref[0, lax_.add(i, i32(2))] = rr_new
 
     @pl.when(lax_.bitwise_and(lax_.eq(i, i32(K - 1)),
-                              lax_.eq(j, i32(nchunks - 1))))
+                              lax_.eq(j, i32(nblocks - 1))))
     def _flush_hist():
         for k in range(K):
             rr_ref[k, :] = jnp.broadcast_to(sm_ref[0, k + 2], (128,))
@@ -153,20 +171,12 @@ def _fused_cg_block(x, r, p, data_p, *, offsets, H, C, lo_chunks,
                     hi_chunk, K):
     with jax.enable_x64(False):
         E = x.shape[0]
-        nchunks = E // C
         ndiag = len(offsets)
         nblocks = data_p.shape[1] // C
 
-        def data_map(i, j):
-            idx = jax.lax.max(
-                jax.lax.sub(j, jnp.array(lo_chunks, jnp.int32)),
-                jnp.array(0, jnp.int32))
-            idx = jax.lax.min(idx, jnp.array(nblocks - 1, jnp.int32))
-            return (0, idx)
-
         kernel = functools.partial(
             _dia_cg_kernel, offsets=offsets, H=H, C=C,
-            lo_chunks=lo_chunks, hi_chunk=hi_chunk, nchunks=nchunks, K=K)
+            lo_chunks=lo_chunks, hi_chunk=hi_chunk, nblocks=nblocks, K=K)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
@@ -176,12 +186,12 @@ def _fused_cg_block(x, r, p, data_p, *, offsets, H, C, lo_chunks,
                 jax.ShapeDtypeStruct((E,), jnp.float32),   # p
                 jax.ShapeDtypeStruct((K, 128), jnp.float32),  # rr hist
             ),
-            grid=(K, nchunks),
+            grid=(K, nblocks),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),      # x (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),      # r (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),      # p (HBM)
-                pl.BlockSpec((ndiag, C), data_map,
+                pl.BlockSpec(memory_space=pl.ANY),         # x (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),         # r (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),         # p (HBM)
+                pl.BlockSpec((ndiag, C), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),     # data stream
             ],
             out_specs=(full, full, full, full),
@@ -191,8 +201,8 @@ def _fused_cg_block(x, r, p, data_p, *, offsets, H, C, lo_chunks,
                 pltpu.SemaphoreType.DMA((3,)),        # state-load DMAs
             ],
             cost_estimate=pl.CostEstimate(
-                flops=2 * K * ndiag * (hi_chunk - lo_chunks) * C,
-                bytes_accessed=K * ndiag * (hi_chunk - lo_chunks) * C * 4,
+                flops=2 * K * ndiag * nblocks * C,
+                bytes_accessed=K * ndiag * nblocks * C * 4,
                 transcendentals=0,
             ),
             compiler_params=pltpu.CompilerParams(
@@ -200,6 +210,60 @@ def _fused_cg_block(x, r, p, data_p, *, offsets, H, C, lo_chunks,
             ),
             interpret=_INTERPRET,
         )(x, r, p, data_p)
+
+
+def make_fused_operator(A) -> "ExtendedStencilOperator | None":
+    """Extended operator tuned for the fused CG kernel.
+
+    The fused kernel holds four E-length f32 vectors in VMEM, so the
+    chunk choice differs from the plain SpMV operator: larger chunks cut
+    grid steps (on-chip sweep r4: C=125k·1024 → 106-107 Gnnz/s effective
+    vs 104-105 at the SpMV default C). Candidates prefer minimal row
+    padding first (less data streamed per iteration), then the largest
+    chunk. Returns None when the matrix/E-budget does not fit the fused
+    layout (caller falls back to cg_full on the plain operator).
+    """
+    if not _HAS_PALLAS:
+        return None
+    if not _INTERPRET and jax.default_backend() != "tpu":
+        return None
+    n, m = A.shape
+    if n != m or not getattr(A, "offsets", None):
+        return None
+    if A.data.dtype != jnp.float32:
+        return None
+    w = max(max(abs(o) for o in A.offsets), 1)
+    if w >= n:
+        return None
+
+    def _ru(v, q):
+        return -(-v // q) * q
+
+    best = None
+    for k in range(128, 0, -1):
+        C = k * 1024
+        n_pad = _ru(n, C)
+        E = 2 * _ru(w, C) + n_pad
+        if E > _FUSED_E_CAP or E < C + 2 * _ru(w, 1024):
+            continue
+        key = (n_pad, -C)
+        if best is None or key < best[0]:
+            best = (key, C)
+    if best is None:
+        return None
+    op = ExtendedStencilOperator(A, chunk=best[1], resident=True)
+    return op if supports_fused_cg(op) else None
+
+
+def pick_block_iters(iters_estimate: int, default: int = 16) -> int:
+    """Block size minimizing overshoot for a known iteration count:
+    smallest K whose launch count matches K=32's (e.g. 92 → 31: three
+    launches run 93 iterations instead of 96 at K=32)."""
+    it = int(iters_estimate)
+    if it <= 0:
+        return default
+    launches = -(-it // 32)
+    return min(max(-(-it // launches), 4), 64)
 
 
 def supports_fused_cg(op) -> bool:
@@ -214,7 +278,7 @@ def supports_fused_cg(op) -> bool:
 
 def fused_cg_ext(op: ExtendedStencilOperator, b: jax.Array, *,
                  tol: float = 1e-6, atol: float = 0.0,
-                 maxiter: int = 1000, block_iters: int = 16):
+                 maxiter: "int | None" = None, block_iters: int = 16):
     """CG on the extended-space stencil operator with the fused kernel.
 
     Contract matches cg_full: run until ``||r|| <= max(tol*||b||, atol)``
@@ -225,6 +289,8 @@ def fused_cg_ext(op: ExtendedStencilOperator, b: jax.Array, *,
     """
     if not supports_fused_cg(op):
         raise ValueError("operator does not support the fused CG kernel")
+    if maxiter is None:
+        maxiter = 10 * op.n  # reference default (torch_sparse_linalg.py:982)
     b = b.astype(jnp.float32)
     b_norm = jnp.linalg.norm(b)
     thresh = jnp.maximum(tol * b_norm, atol).astype(jnp.float32)
@@ -257,7 +323,13 @@ def fused_cg_ext(op: ExtendedStencilOperator, b: jax.Array, *,
     first = jnp.argmax(crossed)
     any_crossed = jnp.any(crossed)
     iters = jnp.where(any_crossed, done - K + first + 1, done)
-    res = jnp.sqrt(jnp.maximum(rr_last, 0.0))
-    ok = jnp.isfinite(res) & (res <= thresh)
+    # cg_full contract: the reported residual/info come from the TRUE
+    # residual (one extra SpMV), not the f32 recurrence value
+    from tpu_sparse.solvers.krylov import _final_check_relax
+
+    res = jnp.linalg.norm(b_ext - op(x))
+    relax = _final_check_relax(jnp.float32)
+    ok = jnp.isfinite(res) & (res <= thresh * relax) \
+        & jnp.isfinite(jnp.linalg.norm(x))
     info = jnp.where(ok, 0, -1).astype(jnp.int32)
     return op.extract(x), info, iters.astype(jnp.int32), res
