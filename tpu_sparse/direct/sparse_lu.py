@@ -146,6 +146,15 @@ class SparseLU:
     solves. Build OUTSIDE jit (host factorization); the instance is a
     registered pytree, so `solve`/`solve_transpose` compose with jit,
     vmap, and the adjoint autograd wrapper with the factors as arguments.
+
+    Differentiability is **b-only**: `sparse_lu_solve_diff` backpropagates
+    through the RHS with one adjoint solve (grad_b = A⁻ᵀ x̄, the reference
+    contract cudss_solver.py:115-148), but the factor leaves carry ZERO
+    cotangents — the factorization is host-side setup, outside the traced
+    graph. For ∂L/∂A on the sparsity pattern (the reference's
+    grad_A[i,j] = −v[i]·x[j], cudss_solver.py:159-163), solve through the
+    router/`direct_solve_diff` paths, which differentiate A via the
+    implicit-function theorem instead of through these factors.
     """
 
     def __init__(self, Ldiag, Udiag, Nl, Nu, NlT, NuT, perm_r, perm_c,

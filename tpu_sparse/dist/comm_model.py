@@ -100,7 +100,18 @@ def hlo_collective_stats(hlo_text: str) -> CollectiveStats:
     """Parse optimized HLO text into per-collective byte counts.
 
     Ops inside while-loop *body* computations are flagged per-iteration.
-    Async pairs (all-reduce-start / -done) count once (the -start)."""
+    Async pairs (all-reduce-start / -done) count once (the -start).
+
+    Known limits (acceptable for the programs this models, and pinned by
+    tests/test_dist.py's exact per-iteration counts): (1) only ops
+    LEXICALLY inside a while-body computation are classified
+    per-iteration — a collective in a computation the body merely calls
+    would count as setup; the repo's solver programs keep their
+    collectives at body top level after XLA inlining. (2) ``-start`` ops
+    parse the full tuple result type, so an async op whose tuple carries
+    both operand and result shapes is counted at up to 2x its wire
+    bytes; the distributed solvers' collectives all lower to the
+    synchronous forms on the CPU mesh where this model is measured."""
     body_names = set(_WHILE_BODY_RE.findall(hlo_text))
     ops: List[CollectiveOp] = []
     current = ""
