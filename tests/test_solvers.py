@@ -119,6 +119,22 @@ class TestBiCGStab:
         assert int(info) == 0
         assert rel_residual(A, x, b) < 1e-6
 
+    def test_convection_diffusion_3d_27pt(self):
+        """The at-scale nonsymmetric bench system (bicgstab_110M row),
+        checked small: genuinely nonsymmetric, solvable by BiCGStab to
+        the iterative tier, and CG-hostile asymmetry is in the ±x
+        couplings only."""
+        A = generators.convection_diffusion_3d_27pt(8, beta=0.3)
+        D = np.asarray(A.todense())
+        assert not np.allclose(D, D.T)
+        offs = list(A.offsets)
+        np.testing.assert_allclose(
+            np.asarray(A.data)[offs.index(-1)].min(), -1.3)
+        b, _ = make_b(A)
+        x, info = bicgstab(A, b, tol=1e-10)
+        assert int(info) == 0
+        assert rel_residual(A, x, b) < 1e-6
+
 
 class TestGMRES:
     def test_nonsymmetric_batched(self):

@@ -62,9 +62,18 @@ def _shard_cwell(W: CWELL, mesh: Mesh) -> CWELL:
 
 def _to_sharded_operator(A, mesh: Mesh):
     """Row-shard a level operator: DIA shards its data columns (rows of
-    the matrix); CSR converts host-side to CWELL and shards block rows.
-    Operators too small/uneven to split stay replicated."""
+    the matrix); CSR converts host-side to CWELL and shards block rows;
+    TentativeP gathers shard with their (fine) rows. Operators too
+    small/uneven to split stay replicated."""
+    from tpu_sparse.precond.amg import TentativeP
+
     nd = mesh.devices.size
+    if isinstance(A, TentativeP):
+        if A.vals.shape[0] % nd != 0:
+            return jax.device_put(A, NamedSharding(mesh, P()))
+        row = NamedSharding(mesh, P(ROW_AXIS))
+        return TentativeP(jax.device_put(A.vals, row),
+                          jax.device_put(A.agg, row), A.shape)
     if isinstance(A, DIA):
         if A.data.shape[1] % nd != 0:
             return jax.device_put(A, NamedSharding(mesh, P()))

@@ -114,12 +114,45 @@ def _aggregate(S: sp.csr_matrix, target_size: int = 4) -> np.ndarray:
     return agg
 
 
+@jax.tree_util.register_pytree_node_class
+class TentativeP:
+    """Tentative (unsmoothed) aggregation prolongator — exactly one entry
+    per row, so ``P x = vals · x[agg]`` is a pure gather. The CSR form of
+    this operator cannot fill CWELL lanes (1 nnz/row → fill ~0.01), so
+    format promotion would fall back to the XLA segment-sum SpMV, which
+    measured ~63 ms per application at n=4.1M (r4); the gather runs at
+    vector-op cost. The restriction side (R = Pᵀ) has dense 8-entry rows
+    and packs fine as CWELL, so only P gets the special case."""
+
+    def __init__(self, vals: jax.Array, agg: jax.Array, shape):
+        self.vals = vals          # (n,) entry values (1.0 for tentative)
+        self.agg = agg            # (n,) int32 column (aggregate) per row
+        self.shape = tuple(int(s) for s in shape)
+
+    def apply(self, xc: jax.Array) -> jax.Array:
+        return self.vals * xc[self.agg]
+
+    def tree_flatten(self):
+        return (self.vals, self.agg), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+
+def _apply_P(P, v: jax.Array) -> jax.Array:
+    if isinstance(P, TentativeP):
+        return P.apply(v)
+    return spmv(P, v)
+
+
 class AMGLevel(NamedTuple):
     """One multigrid level (a pytree: all fields are containers/arrays)."""
 
-    A: Any            # CSR or DIA system matrix on this level
-    P: Optional[CSR]  # prolongator (None on the coarsest level)
-    R: Optional[CSR]  # restriction = Pᵀ
+    A: Any            # system matrix: DIA/CWELL[Seg]/CSR on this level
+    P: Any            # prolongator (TentativeP or a sparse container;
+    #                   None on the coarsest level)
+    R: Optional[CSR]  # restriction = Pᵀ (sparse container)
     dinv_l1: Optional[jax.Array]  # 1 / L1-Jacobi diagonal
 
 
@@ -167,6 +200,58 @@ def _smooth_prolongator(A_sp: sp.csr_matrix,
     P = (P_tent - sp.diags(omega * dinv) @ AP).tocsr()
     P.sum_duplicates()
     return P
+
+
+def _pack_level_op(S_sp: sp.csr_matrix, np_dt):
+    """Host scipy CSR → the best device container for the solve phase.
+
+    On TPU the hierarchy operators are promoted (DIA/BELL/CWELL[Seg])
+    via ``to_tpu_operator`` so every V-cycle SpMV runs a Pallas kernel —
+    a CSR level would fall to the XLA segment-sum path, which measured
+    ~1.1 s/V-cycle at the 110M-nnz scale (r4) against ~5 ms packed. The
+    analysis/packing runs on host (CPU backend) and ships once; CPU runs
+    keep plain CSR (reference kernels are fine there)."""
+    if jax.default_backend() != "tpu":
+        return csr_from_arrays(S_sp.data.astype(np_dt, copy=False),
+                               S_sp.indices, S_sp.indptr, S_sp.shape)
+    from tpu_sparse.sparse.optimize import to_tpu_operator
+
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        # Hierarchy operators (R, coarse A) are low-fill by construction
+        # (tentative R rows hold one aggregate's fine nodes), so the
+        # generic 0.25 lane-fill bar would reject them — but even
+        # eighth-fill CWELL measured ~30x faster than the segment-sum
+        # CSR path they would otherwise run (r4: 0.92 ms vs 29-35 ms at
+        # 4.1M nnz). Slot inflation at the relaxed bar stays bounded
+        # (≤ ~25x nnz) and level operators are small next to the fine
+        # matrix.
+        op = to_tpu_operator(csr_from_arrays(
+            S_sp.data.astype(np_dt, copy=False), S_sp.indices,
+            S_sp.indptr, S_sp.shape), min_cwell_fill=0.04)
+    return jax.device_put(op, jax.devices()[0])
+
+
+def _pack_tentative_p(P_sp: sp.csr_matrix, np_dt):
+    """Tentative P (1 nnz/row) for the device. On TPU: CWELL, packed
+    DIRECTLY (bypassing to_tpu_operator's fill threshold — a 1-nnz-row
+    matrix fills ~0.125 of the lanes, yet the Pallas kernel measured
+    0.92 ms vs 29.3 ms for the x[agg] XLA gather at n=4.1M, r4); falls
+    back to the TentativeP gather off-TPU (cheap there) or when the
+    pack is rejected (e.g. too many planes)."""
+    if jax.default_backend() == "tpu":
+        try:
+            op = _pack_level_op(P_sp, np_dt)
+            # _pack_level_op segments wide P (m past the VMEM x cap) into
+            # CWELLSeg; only a genuine CSR fallback loses to the gather
+            if not isinstance(op, CSR):
+                return op
+        except Exception:
+            pass
+    return TentativeP(
+        jnp.asarray(P_sp.data.astype(np_dt, copy=False)),
+        jnp.asarray(P_sp.indices.astype(np.int32, copy=False)),
+        P_sp.shape)
 
 
 def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
@@ -228,18 +313,15 @@ def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
         dinv = jnp.asarray(
             np.where(dl1 > 0, 1.0 / np.where(dl1 > 0, dl1, 1.0), 1.0),
             dtype=dtype)
-        P_dev = csr_from_arrays(
-            P_sp.data.astype(np_dt, copy=False), P_sp.indices,
-            P_sp.indptr, P_sp.shape)
-        R_dev = csr_from_arrays(
-            R_sp.data.astype(np_dt, copy=False), R_sp.indices,
-            R_sp.indptr, R_sp.shape)
+        if smoothed:
+            P_dev = _pack_level_op(P_sp, np_dt)
+        else:
+            P_dev = _pack_tentative_p(P_sp, np_dt)
+        R_dev = _pack_level_op(R_sp, np_dt)
         levels.append(AMGLevel(A=current_dev, P=P_dev, R=R_dev,
                                dinv_l1=dinv))
         current = A_next
-        current_dev = csr_from_arrays(
-            A_next.data.astype(np_dt, copy=False), A_next.indices,
-            A_next.indptr, A_next.shape)
+        current_dev = _pack_level_op(A_next, np_dt)
 
     dtype = (A.dtype if hasattr(A, "dtype") else jnp.float64)
     coarse_inv = jnp.asarray(
@@ -323,7 +405,7 @@ def v_cycle(hier: AMGHierarchy, b: jax.Array, *, pre_sweeps: int = 0,
         r = rhs - spmv(lvl.A, x) if pre_sweeps > 0 else rhs
         rc = spmv(lvl.R, r)
         xc = descend(level_idx + 1, rc)
-        x = x + spmv(lvl.P, xc)
+        x = x + _apply_P(lvl.P, xc)
         x = smooth(lvl, x, rhs, post_sweeps)
         return x
 

@@ -115,6 +115,43 @@ def convection_diffusion(n: int, beta: float = 0.5, dtype=np.float64) -> DIA:
     return dia_from_offsets((-1, 0, 1), data, (n, n))
 
 
+def poisson2d_anisotropic(nx: int, eps: float = 100.0,
+                          dtype=np.float64) -> DIA:
+    """2-D 5-point Poisson with anisotropic coefficients: −u_xx − ε u_yy
+    (x-coupling 1, y-coupling ε). The classic AMG showcase system (AMGX's
+    own example matrices are of this family): plain CG degrades with the
+    effective condition number while strength-based aggregation coarsens
+    along the strong direction and stays O(1) in iterations."""
+    n = nx * nx
+    i = np.arange(n)
+    ix = i % nx
+    iy = i // nx
+    data = np.zeros((5, n), dtype=dtype)
+    # offsets sorted: -nx, -1, 0, 1, nx
+    data[0] = np.where(iy > 0, -eps, 0.0)
+    data[1] = np.where(ix > 0, -1.0, 0.0)
+    data[2] = 2.0 + 2.0 * eps
+    data[3] = np.where(ix < nx - 1, -1.0, 0.0)
+    data[4] = np.where(iy < nx - 1, -eps, 0.0)
+    return dia_from_offsets((-nx, -1, 0, 1, nx), data, (n, n))
+
+
+def convection_diffusion_3d_27pt(nx: int, beta: float = 0.3,
+                                 dtype=np.float32) -> DIA:
+    """Nonsymmetric 3-D 27-point convection-diffusion: the 27-pt Poisson
+    stencil with upwind-skewed ±x couplings (−(1+β) upstream, −(1−β)
+    downstream). Row-sum diagonal dominance is preserved (off-diagonal
+    magnitude sum stays 26 = center), so BiCGStab/GMRES converge without
+    preconditioning — the at-scale nonsymmetric benchmark system
+    (reference nonsymmetric coverage: test_module_a.py:126-195)."""
+    A = poisson3d_27pt(nx, dtype=dtype)
+    data = np.array(A.data)
+    offs = list(A.offsets)
+    data[offs.index(-1)] *= dtype(1.0 + beta)
+    data[offs.index(1)] *= dtype(1.0 - beta)
+    return dia_from_offsets(tuple(offs), data, A.shape)
+
+
 def random_spd_dense(n: int, seed: int = 0, dtype=np.float64) -> jnp.ndarray:
     """Dense SPD matrix B Bᵀ + n·I (reference test_gpu_validation.py:72-76)."""
     rng = np.random.default_rng(seed)
