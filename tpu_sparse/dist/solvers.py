@@ -62,8 +62,17 @@ def _shard_and_resolve(A, mesh: Mesh, mode: str):
     SpMV (no bandwidth assumption) regardless of the requested mode."""
     if not isinstance(A, DIA):
         from tpu_sparse.dist.partition import shard_general
+        from tpu_sparse.dist.spmv import plan_cwell_halo
 
-        return shard_general(A, mesh), "cwell_allgather"
+        W_sh = shard_general(A, mesh)
+        if mode != "allgather":
+            # boundary-volume halo SpMV whenever the pack's column
+            # windows fit single-hop neighbor exchange (receive volume =
+            # partition cut, not n); explicit mode='allgather' skips
+            plan = plan_cwell_halo(W_sh, mesh)
+            if plan is not None:
+                return plan, "cwell_halo"
+        return W_sh, "cwell_allgather"
     A_sh = shard_dia(A, mesh)
     if mode == "halo" and A_sh.bandwidth > A_sh.shape[0] // mesh.devices.size:
         mode = "allgather"
@@ -79,6 +88,10 @@ def _matvec_builder(A_sh, mesh: Mesh, mode: str) -> Callable:
     argument — a jitted function may not close over arrays whose shards
     live on other processes' devices (they become lowering-time
     constants). Eager/single-process callers may also use it directly."""
+    if mode == "cwell_halo":
+        from tpu_sparse.dist.spmv import make_cwell_halo_spmv
+
+        return make_cwell_halo_spmv(A_sh, mesh)
     if mode == "cwell_allgather":
         from tpu_sparse.dist.spmv import make_cwell_allgather_spmv
 

@@ -124,6 +124,142 @@ def halo_dia_spmv(A: DIA, x: jax.Array, mesh: Mesh) -> jax.Array:
     return make_halo_spmv(A, mesh)(x)
 
 
+@jax.tree_util.register_pytree_node_class
+class HaloCWELL:
+    """A row-sharded CWELL plus its halo-exchange plan (VERDICT r3 #5).
+
+    ``W``'s srow metadata is pre-shifted into each device's LOCAL frame
+    ``[own_start - wl, own_end + wr)`` so the local kernel indexes the
+    concatenated [left_halo | x_local | right_halo] directly. ``wl``/``wr``
+    are the max left/right column overhangs of any device's packed
+    windows, rounded to 128 — per-device receive volume is the partition
+    CUT (wl + wr elements), not n, restoring the halo-SpMV scaling the
+    DIA path has for general matrices whose partition has column
+    locality (e.g. RCM-ordered); locality-poor partitions plan to None
+    and keep the all_gather path."""
+
+    def __init__(self, W, wl: int, wr: int):
+        self.W = W
+        self.wl = int(wl)
+        self.wr = int(wr)
+
+    @property
+    def shape(self):
+        return self.W.shape
+
+    def tree_flatten(self):
+        return (self.W,), (self.wl, self.wr)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+
+def plan_cwell_halo(W, mesh: Mesh):
+    """Host-side halo plan for a row-sharded CWELL (concrete arrays).
+
+    Computes each device's needed column range from the pack metadata
+    (window srow of planes that hold any nonzero), derives uniform halo
+    widths wl/wr, and returns a HaloCWELL with srow shifted to the local
+    frame — or None when any device's windows overhang beyond its
+    immediate neighbors (single-hop halos cannot supply them; caller
+    keeps the all_gather SpMV)."""
+    import numpy as np
+
+    from tpu_sparse.sparse.cwell import LW, CWELL
+
+    n, m = W.shape
+    n_dev = mesh.devices.size
+    if n != m or W.n_blocks % n_dev != 0:
+        return None
+    s = n // n_dev
+    nb_loc = W.n_blocks // n_dev
+    srow = np.asarray(W.srow)            # (n_blocks, S)
+    used = np.asarray(
+        jnp.any(W.vals != 0, axis=2))    # (n_blocks, S) plane has nnz
+    if not used.any():
+        return None
+    wl = wr = 0
+    for d in range(n_dev):
+        blk = slice(d * nb_loc, (d + 1) * nb_loc)
+        u = used[blk]
+        if not u.any():
+            continue
+        sr = srow[blk][u]
+        lo = int(sr.min()) * LW
+        hi = (int(sr.max()) + 2) * LW
+        wl = max(wl, d * s - lo)
+        wr = max(wr, hi - (d + 1) * s)
+    wl = max(0, -(-wl // LW) * LW)
+    wr = max(0, -(-wr // LW) * LW)
+    # halo hops stay within the ring, and the exchange must actually be
+    # cheaper than gathering the rest of x — otherwise keep all_gather
+    hops_l, hops_r = -(-wl // s), -(-wr // s)
+    if max(hops_l, hops_r) >= n_dev or wl + wr >= (n - s):
+        return None
+    # shift srow into each device's local frame [d*s - wl, (d+1)*s + wr)
+    dev_of_block = np.repeat(np.arange(n_dev), nb_loc)
+    shift = (dev_of_block * s - wl) // LW   # (n_blocks,)
+    srow_l = srow - shift[:, None]
+    hi_clamp = (wl + s + wr) // LW - 2
+    srow_l = np.clip(srow_l, 0, max(hi_clamp, 0)).astype(srow.dtype)
+    W_l = CWELL(W.vals, W.idx2,
+                jax.device_put(jnp.asarray(srow_l), W.srow.sharding),
+                W.shape, nnz=W._nnz, fill=W.fill, group=W.group)
+    return HaloCWELL(W_l, wl, wr)
+
+
+def make_cwell_halo_spmv(H: "HaloCWELL",
+                         mesh: Mesh) -> Callable[[jax.Array], jax.Array]:
+    """x ↦ A@x for a halo-planned general CWELL: bidirectional ppermute
+    of the boundary strips — multi-hop when a window overhang spans more
+    than one neighbor shard, with total receive volume exactly wl + wr
+    (the partition cut) — then the local column-window kernel on
+    [left halos | x_local | right halos]."""
+    from tpu_sparse.sparse.cwell import LW, CWELL
+
+    W = H.W
+    wl, wr = H.wl, H.wr
+    n, m = W.shape
+    n_dev = mesh.devices.size
+    nb_loc = W.n_blocks // n_dev
+    s = n // n_dev
+    m_loc = wl + s + wr
+    hops_l, hops_r = -(-wl // s), -(-wr // s)
+
+    def local_fn(vals, idx2, srow, x_local):
+        from tpu_sparse.kernels import spmv as _spmv
+
+        parts = []
+        # left frame [d·s − wl, d·s): neighbor d−k supplies, for the
+        # furthest hop, only the needed tail of its shard — volume = wl
+        for k in range(hops_l, 0, -1):
+            amt = min(s, wl - (k - 1) * s)
+            perm = [(i, i + k) for i in range(n_dev - k)]
+            parts.append(lax.ppermute(x_local[-amt:], ROW_AXIS, perm=perm))
+        parts.append(x_local)
+        for k in range(1, hops_r + 1):
+            amt = min(s, wr - (k - 1) * s)
+            perm = [(i + k, i) for i in range(n_dev - k)]
+            parts.append(lax.ppermute(x_local[:amt], ROW_AXIS, perm=perm))
+        x_ext = jnp.concatenate(parts) if len(parts) > 1 else x_local
+        W_loc = CWELL(vals, idx2, srow, (nb_loc * LW, m_loc),
+                      group=W.group)
+        return _spmv(W_loc, x_ext)
+
+    shmapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(ROW_AXIS, None, None), P(ROW_AXIS, None, None),
+                  P(ROW_AXIS, None), P(ROW_AXIS)),
+        out_specs=P(ROW_AXIS),
+    )
+
+    def spmv_fn(x):
+        return shmapped(W.vals, W.idx2, W.srow, x)
+
+    return spmv_fn
+
+
 def make_cwell_allgather_spmv(W, mesh: Mesh) -> Callable[[jax.Array],
                                                          jax.Array]:
     """Distributed SpMV for GENERAL-structure matrices: each device owns a
