@@ -93,12 +93,23 @@ def _to_device_operator(off_scipy, dtype):
     CWELL whenever the Pallas kernel can actually RUN it — even at a few
     percent fill the lane-gather kernel beats the XLA segment-sum path by
     orders of magnitude (the n=16384 factor runs 64 sweeps in 237 ms at
-    3.7% fill). CSR otherwise; a CSR here marks the factors as not
-    device-capable (see `is_device_capable`) and the router keeps such
-    systems on the cached host-SuperLU path (measured r3: the n=65536
-    factor packed 7376 CWELL planes, past the VMEM window budget, and
-    its XLA-path sweep program blew the remote runtime's execution
-    deadline)."""
+    3.7% fill). Monolithic packs that bust the plane budget retry as
+    column-segmented CWELLSeg (r4): segmentation bounds each segment's
+    column range, which fixes width-driven plane richness (the n=65536
+    factor's NuT packs as 4 segments). CSR otherwise; a CSR here marks
+    the factors as not device-capable (see `is_device_capable`) and the
+    router keeps such systems on the cached host-SuperLU path.
+
+    Known structural limit (measured r4, n=65536 COLAMD factor): L's
+    trailing supernodes hold near-dense rows (max 2507 nnz/row vs p99
+    710), whose plane counts survive any column split (seg_cols 2^16 →
+    2^14 still leaves 2264-3480 planes), so Nl stays CSR and the system
+    stays host-routed. Fixing this needs a dense-corner hybrid (trailing
+    strip as an MXU matmul) AND a depth reducer — the block dependency
+    depth is 256 (= every block chains), so even perfectly-packed sweeps
+    cost ~512 dependent SpMV+trisolve rounds ≈ 150 ms against ~50 ms for
+    the cached host round trip. Supernodal-tree scheduling is the r5
+    design item (see ROADMAP)."""
     import numpy as np
 
     from tpu_sparse.sparse.containers import CSR
@@ -115,25 +126,46 @@ def _to_device_operator(off_scipy, dtype):
                                                  _X_VMEM_LIMIT)
     from tpu_sparse.sparse.cwell import LW
 
+    def _kernel_ok(W):
+        return (4 * 8 * W.planes * LW * 4 <= _WINDOW_VMEM_BUDGET
+                and W.planes // 8 <= 384)  # full-unroll cap
+
     n_pad = off.shape[0]
     if n_pad % LW == 0 and n_pad <= _X_VMEM_LIMIT:
         try:
             W = csr_to_cwell(csr, group=AUTO_GROUP)
-            kernel_ok = (4 * 8 * W.planes * LW * 4 <= _WINDOW_VMEM_BUDGET
-                         and W.planes // 8 <= 384)  # full-unroll cap
-            if kernel_ok:
+            if _kernel_ok(W):
                 return W
         except Exception:
             pass
+    if n_pad % LW == 0:
+        # Plane-rich or wide factors (r3 blocker at n=65536: 7376 planes
+        # past the VMEM window budget): COLUMN segmentation splits the
+        # pack so each segment holds a bounded column range — planes per
+        # block drop with the split and each segment's x slice is
+        # VMEM-resident. Narrow segments keep the near-diagonal mass of
+        # a triangular factor within budget (r4: the n=65536 skewed-
+        # Poisson factor packs 9 segments, ≤ 448 planes each).
+        from tpu_sparse.sparse.cwell import csr_to_cwell_segments
+
+        for seg_cols in (1 << 16, 1 << 14):
+            try:
+                seg = csr_to_cwell_segments(csr, seg_cols=seg_cols,
+                                            group=AUTO_GROUP)
+                if all(_kernel_ok(Wc) for Wc in seg.segments):
+                    return seg
+            except Exception:
+                pass
     return csr
 
 
 def is_device_capable(lu: "SparseLU") -> bool:
-    """True when every factor operator has a Pallas-capable pack, so the
-    jitted block-sweep solve runs at device speed. CSR fallbacks mean the
-    sweeps would run the slow XLA gather path — functional on CPU, but on
-    the remote TPU runtime a deep sweep program can exceed the execution
-    deadline, so the router prefers the cached host solve there."""
+    """True when every factor operator has a Pallas-capable pack (CWELL
+    or column-segmented CWELLSeg), so the jitted block-sweep solve runs
+    at device speed. CSR fallbacks mean the sweeps would run the slow XLA
+    gather path — functional on CPU, but on the remote TPU runtime a deep
+    sweep program can exceed the execution deadline, so the router
+    prefers the cached host solve there."""
     from tpu_sparse.sparse.containers import CSR
 
     ops = (lu.Nl, lu.Nu, lu.NlT, lu.NuT)

@@ -170,11 +170,19 @@ def _cols_sorted(indptr: np.ndarray, cols: np.ndarray) -> bool:
 # Q=2 won on every tested matrix — 27-pt stencil CSR SpMV 40.5 -> 56.1
 # Gnnz/s, SpMM k=32 10.2 -> 16.3 Gnnz/s; random-1% n=16384 SpMV
 # 19.0 -> 22.0 (Q=4 best there, 24.4). Explicit group= overrides.
-AUTO_GROUP = 2
+# Sentinel: pick the group quantum per matrix at pack time. High-fill
+# (column-local) packs keep Q=2 — the r3 sweep winner on stencil-like
+# structure (27-pt: 56.1 Gnnz/s at Q=2). Low-fill packs (poor locality,
+# e.g. random sparsity) take Q=4: halving the dynamic window reads beats
+# the extra plane padding there (r4 measured rand-1% n=16384: 21.3 Gnnz/s
+# at Q=2 → 27.3 at Q=4; degree-sorted SELL-σ permutations were a measured
+# dead end — see docs/performance.md r4).
+AUTO_GROUP = "auto"
+_AUTO_FILL_Q2 = 0.5
 
 
 def csr_to_cwell(A: CSR, *, plane_pad: int = 8,
-                 group: int = 1) -> CWELL:
+                 group="auto") -> CWELL:
     """Pack a CSR matrix into CWELL (host-side, vectorized numpy).
 
     Window assignment is fixed 256-column buckets (window w covers columns
@@ -190,6 +198,14 @@ def csr_to_cwell(A: CSR, *, plane_pad: int = 8,
     inflation S_Q/S_1 stays under roughly 1/(1 - c + c/Q) for copy share
     c~0.36 (e.g. ~1.2x at Q=2, ~1.37x at Q=4).
     """
+    if group == AUTO_GROUP:
+        W2 = csr_to_cwell(A, plane_pad=plane_pad, group=2)
+        if W2.fill is None or W2.fill >= _AUTO_FILL_Q2:
+            return W2
+        W4 = csr_to_cwell(A, plane_pad=plane_pad, group=4)
+        # keep Q=4 unless its plane inflation eats the halved-read win
+        # (profitability bound ~1.37x, module docstring)
+        return W4 if W4.planes <= W2.planes * 1.35 else W2
     if group not in (1, 2, 4, 8):
         raise ValueError("group quantum must be 1, 2, 4, or 8")
     if group > 1 and plane_pad % 8 != 0:
