@@ -281,6 +281,49 @@ class TPUValidationRunner:
         self._check("CWELL SpMM (one-hot MXU)", rel < 1e-4,
                     f"rel={rel:.1e}")
 
+    def run_fused_cg(self):
+        """Fused whole-iteration Pallas CG (r4): on-chip parity with
+        cg_full in iteration count and the true-residual contract."""
+        from tpu_sparse.kernels.pallas_cg import (fused_cg_ext,
+                                                  make_fused_operator)
+        from tpu_sparse.solvers import cg_full
+        from tpu_sparse.sparse import generators
+
+        A = generators.poisson2d(64, dtype=np.float32)  # n=4096
+        rng = np.random.default_rng(7)
+        b = A @ jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+        opf = make_fused_operator(A)
+        if opf is None:
+            self._check("fused CG operator", False, "unavailable")
+            return
+        xf, info_f, it_f, res_f = jax.jit(
+            lambda o, rhs: fused_cg_ext(o, rhs, tol=1e-5,
+                                        maxiter=2000))(opf, b)
+        xr, info_r, it_r, _ = jax.jit(
+            lambda a, rhs: cg_full(a, rhs, tol=1e-5, maxiter=2000))(A, b)
+        rel = float(jnp.linalg.norm(b - A @ xf) / jnp.linalg.norm(b))
+        self._check("fused CG converges", int(info_f) == 0 and rel < 1e-4,
+                    f"rel={rel:.1e}")
+        self._check("fused CG iteration parity",
+                    abs(int(it_f) - int(it_r)) <= 2,
+                    f"fused={int(it_f)} while={int(it_r)}")
+
+    def run_f64_auto(self):
+        """Router default-f64 (precision='auto' → defect-correction
+        mixed, r4): f64 contract met far past the f32 floor."""
+        from tpu_sparse.api.solver import SparseSolver
+        from tpu_sparse.sparse import generators
+
+        jax.config.update("jax_enable_x64", True)
+        A = generators.poisson2d(24)  # f64
+        rng = np.random.default_rng(8)
+        b = A @ jnp.asarray(rng.standard_normal(A.shape[0]))
+        x, r = SparseSolver().solve(A, b, method="cg", tol=1e-10,
+                                    maxiter=10000)
+        rel = float(jnp.linalg.norm(b - A @ x) / jnp.linalg.norm(b))
+        self._check("f64 auto-precision contract",
+                    r.converged and rel <= 1e-10, f"rel={rel:.1e}")
+
     def run_all(self) -> bool:
         self.run_krylov()
         self.run_mixed()
@@ -290,6 +333,8 @@ class TPUValidationRunner:
         self.run_pallas()
         self.run_df64()
         self.run_cwell_spmm()
+        self.run_fused_cg()
+        self.run_f64_auto()
         ok = all(r.passed for r in self.records)
         for r in self.records:
             mark = "PASS" if r.passed else "FAIL"
