@@ -281,6 +281,33 @@ class TPUValidationRunner:
         self._check("CWELL SpMM (one-hot MXU)", rel < 1e-4,
                     f"rel={rel:.1e}")
 
+    def run_complex_split(self):
+        """Complex systems on TPU solve via the real-pair embedding (r4:
+        this runtime cannot materialize complex arrays — jnp.real on one
+        raises UNIMPLEMENTED); operands live on CPU, the device runs 2-4
+        real Pallas SpMVs per matvec."""
+        from tpu_sparse.api.solver import SparseSolver
+        from tpu_sparse.kernels import reference as kref
+        from tpu_sparse.sparse import generators
+
+        rng = np.random.default_rng(11)
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            A = generators.poisson2d(32, dtype=np.float32)
+            Ac = A.with_data(jnp.asarray(
+                (np.asarray(A.data) * (1 + 0.2j)).astype(np.complex64)))
+            xt = jnp.asarray(
+                (rng.standard_normal(1024)
+                 + 1j * rng.standard_normal(1024)).astype(np.complex64))
+            b = kref.dia_spmv(Ac, xt)
+        x, r = SparseSolver().solve(Ac, b, method="gmres", tol=1e-6,
+                                    maxiter=2000, restart=40)
+        with jax.default_device(cpu0):
+            rel = float(jnp.linalg.norm(kref.dia_spmv(Ac, x) - b)
+                        / jnp.linalg.norm(b))
+        self._check("complex real-pair solve", r.converged and rel < 1e-4,
+                    f"rel={rel:.1e}")
+
     def run_fused_cg(self):
         """Fused whole-iteration Pallas CG (r4): on-chip parity with
         cg_full in iteration count and the true-residual contract."""
@@ -333,6 +360,7 @@ class TPUValidationRunner:
         self.run_pallas()
         self.run_df64()
         self.run_cwell_spmm()
+        self.run_complex_split()
         self.run_fused_cg()
         self.run_f64_auto()
         ok = all(r.passed for r in self.records)

@@ -182,7 +182,7 @@ _AUTO_FILL_Q2 = 0.5
 
 
 def csr_to_cwell(A: CSR, *, plane_pad: int = 8,
-                 group="auto") -> CWELL:
+                 group=1) -> CWELL:
     """Pack a CSR matrix into CWELL (host-side, vectorized numpy).
 
     Window assignment is fixed 256-column buckets (window w covers columns
