@@ -155,21 +155,30 @@ def _ext_run(method, kw, A, b, x0, M):
     from tpu_sparse.kernels.pallas_spmv import ExtendedStencilOperator
     from tpu_sparse.precond.jacobi import _apply_diag
 
-    # Fused whole-iteration Pallas CG (r4): for the unpreconditioned f32
-    # CG case with default x0, every dot/axpy runs inside the SpMV data
-    # stream (x/r/p VMEM-resident) — measured 106-107 Gnnz/s effective vs
+    # Fused whole-iteration Pallas CG (r4): for f32 CG with default x0
+    # and M None or a diagonal (Jacobi) preconditioner, every dot/axpy
+    # runs inside the SpMV data stream (x/r/p VMEM-resident; dinv rides
+    # as a fifth resident vector) — measured 106-107 Gnnz/s effective vs
     # 84-86 for the while-loop path at 110M nnz. Same contract (true
     # final residual, info codes); custom_vjp above shields the kernel
     # from AD, and the adjoint solve reuses this same fast path.
-    if method == "cg" and x0 is None and M is None:
+    if method == "cg" and x0 is None:
         from tpu_sparse.kernels.pallas_cg import (fused_cg_ext,
                                                   make_fused_operator)
+        from tpu_sparse.precond.jacobi import _apply_diag as _ad
 
-        opf = make_fused_operator(A)
-        if opf is not None:
-            fkw = {k: v for k, v in kw.items()
-                   if k in ("tol", "atol", "maxiter") and v is not None}
-            return fused_cg_ext(opf, b, **fkw)
+        dvec = False
+        if M is None:
+            dvec = None
+        elif isinstance(M, Partial) and M.func is _ad:
+            dvec = M.args[0]
+        if dvec is not False:
+            opf = make_fused_operator(A, precond=dvec is not None)
+            if opf is not None:
+                fkw = {k: v for k, v in kw.items()
+                       if k in ("tol", "atol", "maxiter")
+                       and v is not None}
+                return fused_cg_ext(opf, b, dinv=dvec, **fkw)
 
     solver = _SOLVERS[method]
     op = ExtendedStencilOperator(A)

@@ -48,10 +48,16 @@ _INTERPRET = False
 _FUSED_E_CAP = 4 * 1024 * 1024 + 256 * 1024
 
 
-def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
-                   rr_ref, ap_ref, sm_ref, sems, *, offsets, H, C,
-                   lo_chunks, hi_chunk, nblocks, K):
+def _dia_cg_kernel(*refs, offsets, H, C, lo_chunks, hi_chunk, nblocks, K,
+                   has_m=False):
     """One grid step = (iteration i, INTERIOR chunk j ∈ [0, nblocks)).
+
+    has_m=True adds a VMEM-resident diagonal-preconditioner input
+    dinv_ref (unit margins): the recurrences switch to Jacobi-PCG —
+    γ = ⟨r, D⁻¹r⟩ drives α/β while the ‖r‖² history keeps the
+    unpreconditioned stopping contract (cg_full parity: its loop also
+    stops on ⟨r,r⟩ under M). z is never stored: D⁻¹r folds into the
+    same epilogue sweeps.
 
     The grid walks interior chunks only (absolute chunk jc = j +
     lo_chunks): margin chunks of x/r/p are zero on entry and never
@@ -70,8 +76,15 @@ def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
     static row stores on the final step — Mosaic rejects rank-1 blocks
     under 128 and dynamic VMEM scalar stores; the running history lives
     in SMEM, where dynamic indexing is legal); ap_ref is (E,) scratch;
-    sm_ref is (1, 2 + K) SMEM [rr, pAp, hist...]; sems: 3 DMA
-    semaphores for the state load."""
+    sm_ref is (1, 2 + K) SMEM [γ, pAp, rr-hist...] (γ = ⟨r,r⟩ when
+    has_m=False); sems: 3 DMA semaphores for the state load."""
+    if has_m:
+        (xi_ref, ri_ref, pi_ref, dinv_ref, data_ref, x_ref, r_ref, p_ref,
+         rr_ref, ap_ref, sm_ref, sems) = refs
+    else:
+        (xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
+         rr_ref, ap_ref, sm_ref, sems) = refs
+        dinv_ref = None
     lax_ = jax.lax
     i32 = lambda v: jnp.array(v, jnp.int32)  # noqa: E731
     i = pl.program_id(0)
@@ -101,11 +114,14 @@ def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
         lax_.fori_loop(0, lo_chunks, zmargin, 0)
         lax_.fori_loop(hi_chunk, nchunks, zmargin, 0)
 
-        # rr0 = <r, r> (chunked VMEM sweep; margin chunks are zero and
-        # stay zero through the interior-only updates below, so every
-        # epilogue sweep runs over [lo_chunks, hi_chunk) only)
+        # γ0 (chunked VMEM sweep; margin chunks are zero and stay zero
+        # through the interior-only updates below, so every epilogue
+        # sweep runs over [lo_chunks, hi_chunk) only)
         def body(c, acc):
-            seg = r_ref[pl.ds(lax_.mul(c, i32(C)), C)]
+            sl = pl.ds(lax_.mul(c, i32(C)), C)
+            seg = r_ref[sl]
+            if has_m:
+                return acc + jnp.sum(seg * (dinv_ref[sl] * seg))
             return acc + jnp.sum(seg * seg)
 
         sm_ref[0, 0] = lax_.fori_loop(lo_chunks, hi_chunk, body,
@@ -133,29 +149,39 @@ def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
     # ---- iteration epilogue on the last chunk ------------------------------
     @pl.when(lax_.eq(j, i32(nblocks - 1)))
     def _epilogue():
-        rr = sm_ref[0, 0]
+        gamma = sm_ref[0, 0]
         pap = sm_ref[0, 1]
         # converged/breakdown guard: alpha=0 freezes the iteration
-        alpha = jnp.where(pap > 0, rr / jnp.where(pap > 0, pap, 1.0), 0.0)
+        alpha = jnp.where(pap > 0,
+                          gamma / jnp.where(pap > 0, pap, 1.0), 0.0)
 
-        def upd(c, rr_acc):
+        def upd(c, accs):
+            rr_acc, g_acc = accs
             sl = pl.ds(lax_.mul(c, i32(C)), C)
             xc = x_ref[sl] + alpha * p_ref[sl]
             rc = r_ref[sl] - alpha * ap_ref[sl]
             x_ref[sl] = xc
             r_ref[sl] = rc
-            return rr_acc + jnp.sum(rc * rc)
+            rr_acc = rr_acc + jnp.sum(rc * rc)
+            if has_m:
+                g_acc = g_acc + jnp.sum(rc * (dinv_ref[sl] * rc))
+            return (rr_acc, g_acc)
 
-        rr_new = lax_.fori_loop(lo_chunks, hi_chunk, upd, jnp.float32(0))
-        beta = jnp.where(rr > 0, rr_new / jnp.where(rr > 0, rr, 1.0), 0.0)
+        rr_new, g_new = lax_.fori_loop(
+            lo_chunks, hi_chunk, upd, (jnp.float32(0), jnp.float32(0)))
+        if not has_m:
+            g_new = rr_new
+        beta = jnp.where(gamma > 0,
+                         g_new / jnp.where(gamma > 0, gamma, 1.0), 0.0)
 
         def updp(c, _):
             sl = pl.ds(lax_.mul(c, i32(C)), C)
-            p_ref[sl] = r_ref[sl] + beta * p_ref[sl]
+            z = dinv_ref[sl] * r_ref[sl] if has_m else r_ref[sl]
+            p_ref[sl] = z + beta * p_ref[sl]
             return 0
 
         lax_.fori_loop(lo_chunks, hi_chunk, updp, 0)
-        sm_ref[0, 0] = rr_new
+        sm_ref[0, 0] = g_new
         sm_ref[0, lax_.add(i, i32(2))] = rr_new
 
     @pl.when(lax_.bitwise_and(lax_.eq(i, i32(K - 1)),
@@ -167,17 +193,31 @@ def _dia_cg_kernel(xi_ref, ri_ref, pi_ref, data_ref, x_ref, r_ref, p_ref,
 
 @functools.partial(jax.jit, static_argnames=("offsets", "H", "C",
                                              "lo_chunks", "hi_chunk", "K"))
-def _fused_cg_block(x, r, p, data_p, *, offsets, H, C, lo_chunks,
-                    hi_chunk, K):
+def _fused_cg_block(x, r, p, data_p, dinv=None, *, offsets, H, C,
+                    lo_chunks, hi_chunk, K):
     with jax.enable_x64(False):
         E = x.shape[0]
         ndiag = len(offsets)
         nblocks = data_p.shape[1] // C
+        has_m = dinv is not None
 
         kernel = functools.partial(
             _dia_cg_kernel, offsets=offsets, H=H, C=C,
-            lo_chunks=lo_chunks, hi_chunk=hi_chunk, nblocks=nblocks, K=K)
+            lo_chunks=lo_chunks, hi_chunk=hi_chunk, nblocks=nblocks, K=K,
+            has_m=has_m)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),             # x (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # r (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # p (HBM)
+        ]
+        operands = [x, r, p]
+        if has_m:
+            in_specs.append(full)                          # dinv (VMEM)
+            operands.append(dinv)
+        in_specs.append(pl.BlockSpec((ndiag, C), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(data_p)
         return pl.pallas_call(
             kernel,
             out_shape=(
@@ -187,17 +227,11 @@ def _fused_cg_block(x, r, p, data_p, *, offsets, H, C, lo_chunks,
                 jax.ShapeDtypeStruct((K, 128), jnp.float32),  # rr hist
             ),
             grid=(K, nblocks),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),         # x (HBM)
-                pl.BlockSpec(memory_space=pl.ANY),         # r (HBM)
-                pl.BlockSpec(memory_space=pl.ANY),         # p (HBM)
-                pl.BlockSpec((ndiag, C), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),     # data stream
-            ],
+            in_specs=in_specs,
             out_specs=(full, full, full, full),
             scratch_shapes=[
                 pltpu.VMEM((E,), jnp.float32),             # Ap
-                pltpu.SMEM((1, 2 + K), jnp.float32),  # [rr, pAp, hist]
+                pltpu.SMEM((1, 2 + K), jnp.float32),  # [γ, pAp, hist]
                 pltpu.SemaphoreType.DMA((3,)),        # state-load DMAs
             ],
             cost_estimate=pl.CostEstimate(
@@ -209,19 +243,27 @@ def _fused_cg_block(x, r, p, data_p, *, offsets, H, C, lo_chunks,
                 vmem_limit_bytes=128 * 1024 * 1024,
             ),
             interpret=_INTERPRET,
-        )(x, r, p, data_p)
+        )(*operands)
 
 
-def make_fused_operator(A) -> "ExtendedStencilOperator | None":
+# VMEM the fused launch may plan against (the pallas_call limit is
+# 128 MB; leave headroom for Mosaic temporaries and the p window reads)
+_FUSED_VMEM_BUDGET = 118 * 1024 * 1024
+
+
+def make_fused_operator(A, precond: bool = False) \
+        -> "ExtendedStencilOperator | None":
     """Extended operator tuned for the fused CG kernel.
 
-    The fused kernel holds four E-length f32 vectors in VMEM, so the
-    chunk choice differs from the plain SpMV operator: larger chunks cut
-    grid steps (on-chip sweep r4: C=125k·1024 → 106-107 Gnnz/s effective
-    vs 104-105 at the SpMV default C). Candidates prefer minimal row
-    padding first (less data streamed per iteration), then the largest
-    chunk. Returns None when the matrix/E-budget does not fit the fused
-    layout (caller falls back to cg_full on the plain operator).
+    The fused kernel holds four E-length f32 vectors in VMEM (five with
+    a diagonal preconditioner), so the chunk choice differs from the
+    plain SpMV operator: larger chunks cut grid steps (on-chip sweep r4:
+    C=125k·1024 → 106-107 Gnnz/s effective vs 104-105 at the SpMV
+    default C), bounded by the VMEM budget (vectors + double-buffered
+    data blocks). Candidates prefer minimal row padding first (less data
+    streamed per iteration), then the largest chunk. Returns None when
+    the matrix/E-budget does not fit the fused layout (caller falls back
+    to cg_full on the plain operator).
     """
     if not _HAS_PALLAS:
         return None
@@ -235,6 +277,8 @@ def make_fused_operator(A) -> "ExtendedStencilOperator | None":
     w = max(max(abs(o) for o in A.offsets), 1)
     if w >= n:
         return None
+    ndiag = len(A.offsets)
+    n_vecs = 5 if precond else 4
 
     def _ru(v, q):
         return -(-v // q) * q
@@ -243,8 +287,12 @@ def make_fused_operator(A) -> "ExtendedStencilOperator | None":
     for k in range(128, 0, -1):
         C = k * 1024
         n_pad = _ru(n, C)
+        H = _ru(w, 1024)
         E = 2 * _ru(w, C) + n_pad
-        if E > _FUSED_E_CAP or E < C + 2 * _ru(w, 1024):
+        if E > _FUSED_E_CAP or E < C + 2 * H:
+            continue
+        vmem = (n_vecs * E + 2 * ndiag * C + (C + 2 * H)) * 4
+        if vmem > _FUSED_VMEM_BUDGET:
             continue
         key = (n_pad, -C)
         if best is None or key < best[0]:
@@ -278,14 +326,17 @@ def supports_fused_cg(op) -> bool:
 
 def fused_cg_ext(op: ExtendedStencilOperator, b: jax.Array, *,
                  tol: float = 1e-6, atol: float = 0.0,
-                 maxiter: "int | None" = None, block_iters: int = 16):
+                 maxiter: "int | None" = None, block_iters: int = 16,
+                 dinv: "jax.Array | None" = None):
     """CG on the extended-space stencil operator with the fused kernel.
 
     Contract matches cg_full: run until ``||r|| <= max(tol*||b||, atol)``
     or maxiter, in launches of ``block_iters`` iterations (iteration
     count reported from the ||r||^2 history; overshoot past the crossing
-    is under one launch and only improves x). Returns
-    (x, info, iters, res) with x in the ORIGINAL (non-extended) space.
+    is under one launch and only improves x). ``dinv`` (ORIGINAL-space
+    inverse-diagonal, e.g. a Jacobi preconditioner's vector) switches
+    the kernel to fused Jacobi-PCG. Returns (x, info, iters, res) with
+    x in the ORIGINAL (non-extended) space.
     """
     if not supports_fused_cg(op):
         raise ValueError("operator does not support the fused CG kernel")
@@ -296,6 +347,8 @@ def fused_cg_ext(op: ExtendedStencilOperator, b: jax.Array, *,
     thresh = jnp.maximum(tol * b_norm, atol).astype(jnp.float32)
     thresh2 = thresh * thresh
     b_ext = op.extend(b)
+    dinv_ext = (None if dinv is None
+                else op.extend_diag(dinv.astype(jnp.float32)))
     K = int(block_iters)
 
     kw = dict(offsets=op.offsets, H=op.H, C=op.C,
@@ -304,7 +357,8 @@ def fused_cg_ext(op: ExtendedStencilOperator, b: jax.Array, *,
 
     def body(state):
         x, r, p, hist, done_iters, _ = state
-        x, r, p, hist2d = _fused_cg_block(x, r, p, op.data_p, **kw)
+        x, r, p, hist2d = _fused_cg_block(x, r, p, op.data_p, dinv_ext,
+                                          **kw)
         hist = hist2d[:, 0]
         return (x, r, p, hist, done_iters + K, hist[K - 1])
 
@@ -315,7 +369,8 @@ def fused_cg_ext(op: ExtendedStencilOperator, b: jax.Array, *,
 
     big = jnp.float32(3.0e38)  # finite so the first cond passes
     x0 = jnp.zeros_like(b_ext)
-    state0 = (x0, b_ext, b_ext, jnp.full((K,), big, jnp.float32),
+    p0 = b_ext if dinv_ext is None else dinv_ext * b_ext  # z0 = D⁻¹ r0
+    state0 = (x0, b_ext, p0, jnp.full((K,), big, jnp.float32),
               jnp.array(0, jnp.int32), big)
     x, r, p, hist, done, rr_last = jax.lax.while_loop(cond, body, state0)
     # exact iteration count: first crossing inside the final launch
