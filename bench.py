@@ -502,23 +502,55 @@ def main():
         # convection-diffusion system through the router fast path ---
         _progress("bicgstab 110M")
         try:
+            from tpu_sparse.solvers import bicgstab_full
+
             Acd = generators.convection_diffusion_3d_27pt(
                 160, dtype=np.float32)
             bcd = Acd @ xb
-            from tpu_sparse.api.solver import SparseSolver as _SS2
+            gbi = jax.jit(lambda a, rhs: bicgstab_full(
+                a, rhs, tol=1e-6, maxiter=500))
+            t_biw = wall_time(gbi, Acd, bcd, warmup=1, iters=3)
+            _, inf_w, it_w, _ = gbi(Acd, bcd)
+            bi_best, bi_it, bi_info, bi_kernel = (
+                t_biw, int(it_w), inf_w, "while_loop")
+            extra["bicgstab_110M_while_ms"] = round(t_biw * 1e3, 1)
+            try:
+                from tpu_sparse.kernels.pallas_bicgstab import (
+                    fused_bicgstab_ext, make_fused_bicgstab_operator)
+                from tpu_sparse.kernels.pallas_cg import pick_block_iters
 
-            scd = _SS2()
-            t_bi = wall_time(
-                lambda: scd.solve(Acd, bcd, method="bicgstab", tol=1e-6,
-                                  maxiter=500)[0], warmup=1, iters=3)
-            _, r_bi = scd.solve(Acd, bcd, method="bicgstab", tol=1e-6,
-                                maxiter=500)
+                opb = make_fused_bicgstab_operator(Acd)
+                if opb is not None:
+                    def _fbi(K):
+                        return jax.jit(lambda o, rhs: fused_bicgstab_ext(
+                            o, rhs, tol=1e-6, maxiter=500,
+                            block_iters=K))
+
+                    _, _, it_f0, _ = jax.block_until_ready(
+                        _fbi(12)(opb, bcd))
+                    Kt = pick_block_iters(int(it_f0))
+                    gfb = _fbi(Kt)
+                    t_bif = wall_time(lambda: gfb(opb, bcd), warmup=1,
+                                      iters=3)
+                    xfb, inf_f, it_f, _ = gfb(opb, bcd)
+                    true_rel = float(jnp.linalg.norm(bcd - Acd @ xfb)
+                                     / jnp.linalg.norm(bcd))
+                    extra.update({
+                        "bicgstab_110M_fused_ms": round(t_bif * 1e3, 1),
+                        "bicgstab_110M_fused_true_rel_res": true_rel,
+                    })
+                    if int(inf_f) == 0 and true_rel <= 2e-6 \
+                            and t_bif < bi_best:
+                        bi_best, bi_it, bi_info, bi_kernel = (
+                            t_bif, int(it_f), inf_f, "fused_pallas")
+            except Exception as e:
+                extra["bicgstab_110M_fused_error"] = str(e)[:120]
             extra.update({
                 "bicgstab_110M_nnz": int(Acd.nnz),
-                "bicgstab_110M_ms": round(t_bi * 1e3, 1),
-                "bicgstab_110M_iters": r_bi.iterations,
-                "bicgstab_110M_converged": bool(r_bi.converged),
-                "bicgstab_110M_rel_res": float(r_bi.residual),
+                "bicgstab_110M_ms": round(bi_best * 1e3, 1),
+                "bicgstab_110M_iters": bi_it,
+                "bicgstab_110M_kernel": bi_kernel,
+                "bicgstab_110M_converged": bool(int(bi_info) == 0),
             })
             del Acd, bcd
         except Exception as e:  # pragma: no cover

@@ -335,6 +335,39 @@ class TPUValidationRunner:
                     abs(int(it_f) - int(it_r)) <= 2,
                     f"fused={int(it_f)} while={int(it_r)}")
 
+    def run_fused_bicgstab(self):
+        """Fused whole-iteration Pallas BiCGStab (r4): on-chip parity
+        with bicgstab_full on a nonsymmetric system."""
+        from tpu_sparse.kernels.pallas_bicgstab import (
+            fused_bicgstab_ext, make_fused_bicgstab_operator)
+        from tpu_sparse.solvers import bicgstab_full
+        from tpu_sparse.sparse import generators
+
+        A = generators.poisson2d(64, dtype=np.float32)
+        data = np.asarray(A.data).copy()
+        offs = list(A.offsets)
+        data[offs.index(-1)] *= 1.3
+        data[offs.index(1)] *= 0.7
+        A = A.with_data(jnp.asarray(data))
+        rng = np.random.default_rng(9)
+        b = A @ jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+        opb = make_fused_bicgstab_operator(A)
+        if opb is None:
+            self._check("fused BiCGStab operator", False, "unavailable")
+            return
+        xf, info_f, it_f, _ = jax.jit(
+            lambda o, rhs: fused_bicgstab_ext(o, rhs, tol=1e-5,
+                                              maxiter=2000))(opb, b)
+        _, info_r, it_r, _ = jax.jit(
+            lambda a, rhs: bicgstab_full(a, rhs, tol=1e-5,
+                                         maxiter=2000))(A, b)
+        rel = float(jnp.linalg.norm(b - A @ xf) / jnp.linalg.norm(b))
+        self._check("fused BiCGStab converges",
+                    int(info_f) == 0 and rel < 1e-4, f"rel={rel:.1e}")
+        self._check("fused BiCGStab iteration parity",
+                    abs(int(it_f) - int(it_r)) <= 3,
+                    f"fused={int(it_f)} while={int(it_r)}")
+
     def run_f64_auto(self):
         """Router default-f64 (precision='auto' → defect-correction
         mixed, r4): f64 contract met far past the f32 floor."""
@@ -362,6 +395,7 @@ class TPUValidationRunner:
         self.run_cwell_spmm()
         self.run_complex_split()
         self.run_fused_cg()
+        self.run_fused_bicgstab()
         self.run_f64_auto()
         ok = all(r.passed for r in self.records)
         for r in self.records:

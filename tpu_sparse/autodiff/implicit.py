@@ -180,6 +180,20 @@ def _ext_run(method, kw, A, b, x0, M):
                        and v is not None}
                 return fused_cg_ext(opf, b, dinv=dvec, **fkw)
 
+    # Fused whole-iteration BiCGStab (r4): same scheme, two stream
+    # passes per iteration (the method's two matvecs), breakdown codes
+    # preserved through the history encoding. 110M-nnz measured:
+    # 108 ms vs 127 for the while-loop ext path.
+    if method == "bicgstab" and x0 is None and M is None:
+        from tpu_sparse.kernels.pallas_bicgstab import (
+            fused_bicgstab_ext, make_fused_bicgstab_operator)
+
+        opf = make_fused_bicgstab_operator(A)
+        if opf is not None:
+            fkw = {k: v for k, v in kw.items()
+                   if k in ("tol", "atol", "maxiter") and v is not None}
+            return fused_bicgstab_ext(opf, b, **fkw)
+
     solver = _SOLVERS[method]
     op = ExtendedStencilOperator(A)
     b_ext = op.extend(b)
