@@ -202,6 +202,9 @@ def _smooth_prolongator(A_sp: sp.csr_matrix,
     return P
 
 
+_DENSE_LEVEL_MAX = 3072
+
+
 def _pack_level_op(S_sp: sp.csr_matrix, np_dt):
     """Host scipy CSR → the best device container for the solve phase.
 
@@ -214,6 +217,12 @@ def _pack_level_op(S_sp: sp.csr_matrix, np_dt):
     if jax.default_backend() != "tpu":
         return csr_from_arrays(S_sp.data.astype(np_dt, copy=False),
                                S_sp.indices, S_sp.indptr, S_sp.shape)
+    # Tiny coarse-level operators become DENSE on TPU: below this size
+    # the V-cycle cost is per-op kernel/grid latency, not arithmetic —
+    # a dense (m, n) jnp.dot is ONE MXU op (r4: the ~11-level tail of
+    # small CWELL kernels contributed ~5 ms of the ~10 ms cycle).
+    if max(S_sp.shape) <= _DENSE_LEVEL_MAX:
+        return jnp.asarray(S_sp.toarray().astype(np_dt, copy=False))
     from tpu_sparse.sparse.optimize import to_tpu_operator
 
     cpu0 = jax.devices("cpu")[0]
