@@ -590,7 +590,11 @@ def main():
             })
         from tpu_sparse.kernels import reference as _kref
 
-        dt64 = per_iter_time(lambda y: _kref.dia_spmv(A64, y) * s64, v64)
+        # long chains: the ~0.3 ms/op XLA row needs the K2-K1 delta well
+        # clear of dispatch jitter (a short-chain reading captured 43
+        # Gnnz/s once in r4 where long chains consistently give 18-21)
+        dt64 = per_iter_time(lambda y: _kref.dia_spmv(A64, y) * s64, v64,
+                             K1=10, K2=110)
         extra.update({
             "spmv_f64_xla_gnnz_per_s": round(A64.nnz / dt64 / 1e9, 2),
             "spmv_f64_n": int(A64.shape[0]),
