@@ -552,6 +552,22 @@ def main():
                 "bicgstab_110M_kernel": bi_kernel,
                 "bicgstab_110M_converged": bool(int(bi_info) == 0),
             })
+
+            # GMRES completes the at-scale Krylov trio (no fused variant:
+            # the restart-cycle cost is CGS2 orthogonalization traffic
+            # against the stored basis, not fusable into the SpMV stream)
+            _progress("gmres 110M")
+            from tpu_sparse.solvers import gmres_full
+
+            ggm = jax.jit(lambda a, rhs: gmres_full(
+                a, rhs, tol=1e-6, restart=20, maxiter=500))
+            t_gm = wall_time(ggm, Acd, bcd, warmup=1, iters=3)
+            _, inf_g, it_g, _ = ggm(Acd, bcd)
+            extra.update({
+                "gmres_110M_ms": round(t_gm * 1e3, 1),
+                "gmres_110M_restarts": int(it_g),
+                "gmres_110M_converged": bool(int(inf_g) == 0),
+            })
             del Acd, bcd
         except Exception as e:  # pragma: no cover
             extra["bicgstab_110M_error"] = str(e)[:120]
@@ -763,7 +779,9 @@ def main():
         "cg_110M_ms", "cg_110M_iters", "cg_110M_converged",
         "cg_110M_gnnz_per_s_effective", "cg_110M_kernel",
         "amg_pcg_110M_ms", "amg_pcg_110M_iters", "amg_pcg_110M_converged",
-        "bicgstab_110M_ms", "bicgstab_110M_converged",
+        "bicgstab_110M_ms", "bicgstab_110M_kernel",
+        "bicgstab_110M_converged",
+        "gmres_110M_ms", "gmres_110M_converged",
         "spmv_f64_df32_gnnz_per_s", "router_f64_spmv_speedup_vs_xla",
         "router_f64_auto_ms", "router_f64_auto_speedup_vs_full",
         "cwell_general_spmv_gnnz_per_s",
