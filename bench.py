@@ -677,6 +677,33 @@ def main():
     finally:
         jax.config.update("jax_enable_x64", False)
 
+    _progress("ldc e2e")
+    # --- end-to-end application: lid-driven-cavity CFD (the reference's
+    # own e2e demo, SURVEY.md §3.5). Whole-step jit + scan chunking;
+    # steps/s is the honest app-level number (includes momentum, BCs,
+    # pressure CG, correction) ---
+    try:
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "examples", "ldc"))
+        from ldc_solver import LDCConfig, LDCSolver
+
+        jax.config.update("jax_enable_x64", True)
+        sim = LDCSolver(LDCConfig(nx=64, Re=100.0, solver="cg",
+                                  precond="jacobi", tol=1e-8))
+        sim.run(20, chunk=20)  # warmup/compile
+        out_ldc = sim.run(100, chunk=100)
+        extra.update({
+            "ldc_nx": 64,
+            "ldc_steps_per_s": round(out_ldc["steps_per_s"], 1),
+            "ldc_mass_residual": out_ldc["mass_residual"],
+        })
+    except Exception as e:  # pragma: no cover
+        extra["ldc_error"] = str(e)[:120]
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
     _progress("weak scaling")
     # --- weak-scaling sweep on the virtual CPU mesh (subprocess: the
     # device count must be fixed before backend init). On one host this
@@ -785,6 +812,7 @@ def main():
         "spmv_f64_df32_gnnz_per_s", "router_f64_spmv_speedup_vs_xla",
         "router_f64_auto_ms", "router_f64_auto_speedup_vs_full",
         "cwell_general_spmv_gnnz_per_s",
+        "ldc_steps_per_s", "ldc_mass_residual",
     )
     compact = dict(out)
     compact["extra"] = {k: extra[k] for k in _KEY_ROWS if k in extra}
