@@ -212,6 +212,27 @@ def test_cwell_spmm_pallas_interpret_stencil_wide_rhs():
     np.testing.assert_allclose(np.asarray(Y), y_ref, rtol=1e-4, atol=1e-4)
 
 
+def test_cwell_spmm_gather_vs_onehot_interpret():
+    """The gather-contraction SpMM (r4 primary path) agrees with both
+    the one-hot MXU kernel and the XLA oracle across group quanta."""
+    from tpu_sparse.kernels import pallas_cwell
+
+    A = to_csr(generators.poisson2d(20, dtype=np.float32))
+    rng = np.random.default_rng(15)
+    B = jnp.asarray(rng.standard_normal((400, 20)).astype(np.float32))
+    pallas_cwell._INTERPRET = True
+    try:
+        for Q in (1, 2, 4):
+            W = csr_to_cwell(A, group=Q)
+            y_ref = np.asarray(ref.cwell_spmm(W, B))
+            Yg = pallas_cwell.cwell_spmm_pallas_gather(W, B)
+            assert Yg is not None
+            np.testing.assert_allclose(np.asarray(Yg), y_ref,
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        pallas_cwell._INTERPRET = False
+
+
 def test_cwell_pallas_interpret_bf16():
     from tpu_sparse.kernels import pallas_cwell
 

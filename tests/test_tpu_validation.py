@@ -273,12 +273,12 @@ class TPUValidationRunner:
             np.float32))
         Y = pallas_cwell.cwell_spmm_pallas(W, B)
         if Y is None:
-            self._check("CWELL SpMM (one-hot MXU)", False, "unavailable")
+            self._check("CWELL SpMM (Pallas)", False, "unavailable")
             return
         Yr = np.asarray(kref.cwell_spmm(W, B))
         rel = float(np.max(np.abs(np.asarray(Y) - Yr))
                     / np.abs(Yr).max())
-        self._check("CWELL SpMM (one-hot MXU)", rel < 1e-4,
+        self._check("CWELL SpMM (Pallas gather)", rel < 1e-4,
                     f"rel={rel:.1e}")
 
     def run_complex_split(self):
