@@ -81,6 +81,22 @@ def _progress(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+# Soft deadline for the OPTIONAL trailing sections (LDC e2e, CPU-mesh
+# weak-scaling subprocesses): if the headline + solver rows have already
+# consumed this much wall time (slow chip day, cold caches), skip the
+# remainder so the driver's capture window always gets the final summary
+# line rather than a timeout kill.
+_SOFT_DEADLINE_S = 1800.0
+_T0 = time.perf_counter()
+
+
+def _past_deadline(extra, section):
+    if time.perf_counter() - _T0 > _SOFT_DEADLINE_S:
+        extra[f"{section}_skipped"] = "soft deadline"
+        return True
+    return False
+
+
 def main():
     from tpu_sparse.kernels import spmv
     from tpu_sparse.solvers import cg_refined
@@ -683,6 +699,8 @@ def main():
     # steps/s is the honest app-level number (includes momentum, BCs,
     # pressure CG, correction) ---
     try:
+        if _past_deadline(extra, "ldc"):
+            raise TimeoutError("soft deadline")
         import sys as _sys
 
         _sys.path.insert(0, os.path.join(
@@ -710,6 +728,8 @@ def main():
     # validates collective mechanics/communication volume, not hardware
     # scaling — this machine has 4 cores serving all 8 virtual devices ---
     try:
+        if _past_deadline(extra, "weak_scaling"):
+            raise TimeoutError("soft deadline")
         import subprocess
         import sys
 
