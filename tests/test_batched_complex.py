@@ -231,6 +231,39 @@ def test_complex_real_pair_embedding_solver():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_complex_real_pair_complex_A_real_b_and_dense_numpy():
+    """Review findings r4: a complex matrix with a REAL rhs must produce
+    a complex solution through the embedding (not a real-cast one), and
+    dense NUMPY complex operands must take the dense branch (ndarray
+    .data is a memoryview, not container values)."""
+    from tpu_sparse.api.solver import SparseSolver
+    from tpu_sparse.kernels import reference as kref
+    from tpu_sparse.sparse import generators
+
+    rng = np.random.default_rng(41)
+    A = generators.poisson2d(12, dtype=np.float32)
+    Ac = A.with_data(jnp.asarray(
+        (np.asarray(A.data) * (1 + 0.3j)).astype(np.complex64)))
+    b_real = jnp.asarray(rng.standard_normal(144).astype(np.float32))
+    s = SparseSolver()
+    x, info, iters, res, rel = s._solve_complex_real_pair(
+        Ac, b_real, "gmres", 1e-5, 0.0, 2000, 30, "batched")
+    assert np.iscomplexobj(np.asarray(x))
+    assert int(info) == 0
+    r = np.asarray(kref.dia_spmv(Ac, x)) - np.asarray(
+        b_real).astype(np.complex64)
+    assert float(np.linalg.norm(r) / np.linalg.norm(np.asarray(b_real))) \
+        < 1e-4
+
+    # dense numpy complex matrix
+    D = np.asarray(Ac.todense())
+    x2, info2, *_ = s._solve_complex_real_pair(
+        D, b_real, "gmres", 1e-5, 0.0, 2000, 30, "batched")
+    assert int(info2) == 0
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x),
+                               rtol=1e-4, atol=1e-5)
+
+
 if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-377)
     from _standalone import run_standalone
 

@@ -318,8 +318,9 @@ class SparseSolver:
         # is the TPU-native complex path — symmetric when A is Hermitian
         # (CG-safe), real SpMVs run the Pallas kernels. Off-TPU the
         # native complex solvers are used directly.
-        if (jnp.issubdtype(getattr(b, "dtype", jnp.float32),
-                           jnp.complexfloating)
+        if ((jnp.issubdtype(getattr(b, "dtype", jnp.float32),
+                            jnp.complexfloating)
+             or jnp.issubdtype(_operand_dtype(A), jnp.complexfloating))
                 and jax.default_backend() == "tpu"
                 and M is None and x0 is None
                 and method in ("cg", "bicgstab", "gmres")
@@ -377,20 +378,24 @@ class SparseSolver:
         if cached is None:
             cached = self._cplx_cache = OperandCache(max_entries=8)
 
-        real_dt = (jnp.float64 if getattr(b, "dtype", None)
-                   == jnp.complex128 and jax.config.jax_enable_x64
+        real_dt = (jnp.float64
+                   if jnp.complex128 in (getattr(b, "dtype", None),
+                                         _operand_dtype(A))
+                   and jax.config.jax_enable_x64
                    else jnp.float32)
 
         def build():
-            data = getattr(A, "data", None)
-            if data is None:
-                data = getattr(A, "vals", None)
-            if data is None:  # dense
+            # containers expose with_data; a plain ndarray's .data is a
+            # memoryview and must take the dense branch
+            if not hasattr(A, "with_data"):
                 Anp = np.asarray(A)
                 if np.iscomplexobj(Anp):
                     return (jnp.asarray(Anp.real.astype(real_dt)),
                             jnp.asarray(Anp.imag.astype(real_dt)))
                 return (jnp.asarray(Anp.astype(real_dt)), None)
+            data = getattr(A, "data", None)
+            if data is None or not hasattr(data, "dtype"):
+                data = A.vals
             dn = np.asarray(data)
             if np.iscomplexobj(dn):
                 return (A.with_data(jnp.asarray(dn.real.astype(real_dt))),
@@ -413,9 +418,13 @@ class SparseSolver:
             method, tol, atol, maxiter, restart, solve_method)(
                 Partial(_cplx_pair_matvec, Ar, Ai), b2)
         xr, xi = np.asarray(x2[:n]), np.asarray(x2[n:])
-        # recombine on CPU: this TPU runtime cannot hold complex arrays
+        # recombine on CPU: this TPU runtime cannot hold complex arrays.
+        # The solution is complex whenever A is (even for real b), so
+        # the output dtype follows the solve precision, not b's dtype.
+        out_dt = (np.complex128 if real_dt == jnp.float64
+                  else np.complex64)
         with jax.default_device(jax.devices("cpu")[0]):
-            x = jnp.asarray((xr + 1j * xi).astype(bn.dtype))
+            x = jnp.asarray((xr + 1j * xi).astype(out_dt))
         return x, info, iters, res, rel
 
     def _solve_krylov_mixed(self, A, b, x0, method, tol, atol, maxiter, M,
@@ -820,6 +829,18 @@ def _jitted_krylov_plain(method: str, tol: float, atol: float, maxiter,
         return out + (out[3] / jnp.where(bn > 0, bn, 1.0),)
 
     return jax.jit(run)
+
+
+def _operand_dtype(A):
+    """Best-effort element dtype of a matrix operand: container value
+    arrays first (a plain ndarray's ``.data`` is a memoryview and is
+    skipped), then the operand's own dtype; float32 for callables."""
+    for attr in ("data", "vals"):
+        d = getattr(A, attr, None)
+        if d is not None and hasattr(d, "dtype"):
+            return d.dtype
+    dt = getattr(A, "dtype", None)
+    return dt if dt is not None else jnp.float32
 
 
 def _cplx_pair_matvec(Ar, Ai, v):

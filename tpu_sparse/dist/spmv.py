@@ -172,6 +172,13 @@ def plan_cwell_halo(W, mesh: Mesh):
     n_dev = mesh.devices.size
     if n != m or W.n_blocks % n_dev != 0:
         return None
+    # multi-process meshes: the pack metadata spans non-addressable
+    # devices and cannot be fetched for host-side planning — keep the
+    # all_gather SpMV there (single-controller planning would need the
+    # pre-shard host copy, a r5 item)
+    if not (getattr(W.srow, "is_fully_addressable", True)
+            and getattr(W.vals, "is_fully_addressable", True)):
+        return None
     s = n // n_dev
     nb_loc = W.n_blocks // n_dev
     srow = np.asarray(W.srow)            # (n_blocks, S)

@@ -62,7 +62,15 @@ def _complex_split_spmv(A, x: jax.Array) -> jax.Array:
     Pallas kernels carry the hot work (VERDICT r3 missing #3: complex
     operands previously always ran the XLA fallback). The component
     dtype (f32/f64) picks the usual real dispatch, including the DF
-    compensated kernels for complex128 components."""
+    compensated kernels for complex128 components.
+
+    Note: the jnp.real/lax.complex endpoints still require a runtime
+    that can hold complex arrays — the axon TPU runtime cannot (they
+    raise UNIMPLEMENTED there, exactly as the pre-split XLA fallback
+    did; verified r4), so complex SOLVES on that runtime go through the
+    router's real-pair embedding with operands held on CPU instead
+    (api.solver._solve_complex_real_pair). This split path serves TPU
+    runtimes with complex support."""
     data = getattr(A, "data", None)
     if data is None:
         data = A.vals  # CWELL

@@ -300,28 +300,13 @@ def make_fused_bicgstab_operator(A) -> "ExtendedStencilOperator | None":
     w = max(max(abs(o) for o in A.offsets), 1)
     if w >= n:
         return None
-    ndiag = len(A.offsets)
+    from tpu_sparse.kernels.pallas_cg import pick_fused_chunk
 
-    def _ru(v, q):
-        return -(-v // q) * q
-
-    best = None
-    for k in range(128, 0, -1):
-        C = k * 1024
-        n_pad = _ru(n, C)
-        H = _ru(w, 1024)
-        E = 2 * _ru(w, C) + n_pad
-        if E < C + 2 * H:
-            continue
-        vmem = (6 * E + 2 * ndiag * C + (C + 2 * H)) * 4
-        if vmem > _VMEM_BUDGET:
-            continue
-        key = (n_pad, -C)
-        if best is None or key < best[0]:
-            best = (key, C)
-    if best is None:
+    C = pick_fused_chunk(n, w, len(A.offsets), n_vecs=6,
+                         vmem_budget=_VMEM_BUDGET)
+    if C is None:
         return None
-    op = ExtendedStencilOperator(A, chunk=best[1], resident=True)
+    op = ExtendedStencilOperator(A, chunk=C, resident=True)
     return op if supports_fused_bicgstab(op) else None
 
 

@@ -277,8 +277,24 @@ def make_fused_operator(A, precond: bool = False) \
     w = max(max(abs(o) for o in A.offsets), 1)
     if w >= n:
         return None
-    ndiag = len(A.offsets)
-    n_vecs = 5 if precond else 4
+    C = pick_fused_chunk(n, w, len(A.offsets),
+                         n_vecs=5 if precond else 4,
+                         e_cap=_FUSED_E_CAP)
+    if C is None:
+        return None
+    op = ExtendedStencilOperator(A, chunk=C, resident=True)
+    return op if supports_fused_cg(op) else None
+
+
+def pick_fused_chunk(n: int, w: int, ndiag: int, *, n_vecs: int,
+                     e_cap: "int | None" = None,
+                     vmem_budget: int = _FUSED_VMEM_BUDGET) \
+        -> "int | None":
+    """Chunk-size search shared by the fused CG/PCG/BiCGStab layouts:
+    candidates prefer minimal row padding, then the largest chunk, under
+    a VMEM plan of ``n_vecs`` E-length f32 vectors + double-buffered
+    data blocks + the window read. ``e_cap`` additionally bounds E (the
+    CG layouts' historical four-vector cap)."""
 
     def _ru(v, q):
         return -(-v // q) * q
@@ -289,18 +305,15 @@ def make_fused_operator(A, precond: bool = False) \
         n_pad = _ru(n, C)
         H = _ru(w, 1024)
         E = 2 * _ru(w, C) + n_pad
-        if E > _FUSED_E_CAP or E < C + 2 * H:
+        if (e_cap is not None and E > e_cap) or E < C + 2 * H:
             continue
         vmem = (n_vecs * E + 2 * ndiag * C + (C + 2 * H)) * 4
-        if vmem > _FUSED_VMEM_BUDGET:
+        if vmem > vmem_budget:
             continue
         key = (n_pad, -C)
         if best is None or key < best[0]:
             best = (key, C)
-    if best is None:
-        return None
-    op = ExtendedStencilOperator(A, chunk=best[1], resident=True)
-    return op if supports_fused_cg(op) else None
+    return None if best is None else best[1]
 
 
 def pick_block_iters(iters_estimate: int, default: int = 16) -> int:

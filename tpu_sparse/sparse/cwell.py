@@ -179,6 +179,7 @@ def _cols_sorted(indptr: np.ndarray, cols: np.ndarray) -> bool:
 # dead end — see docs/performance.md r4).
 AUTO_GROUP = "auto"
 _AUTO_FILL_Q2 = 0.5
+_AUTO_TRIAL_NNZ_CAP = 1 << 25   # ~33M nnz: bound on the double-pack trial
 
 
 def csr_to_cwell(A: CSR, *, plane_pad: int = 8,
@@ -201,6 +202,13 @@ def csr_to_cwell(A: CSR, *, plane_pad: int = 8,
     if group == AUTO_GROUP:
         W2 = csr_to_cwell(A, plane_pad=plane_pad, group=2)
         if W2.fill is None or W2.fill >= _AUTO_FILL_Q2:
+            return W2
+        # the Q=4 trial is a SECOND full pack — packing is
+        # memory-bandwidth bound on fresh allocations, so cap the trial
+        # to packs where the extra host pass stays cheap (the measured
+        # Q=4 win is a solve-time property; huge low-fill packs keep the
+        # Q=2 result rather than doubling their setup cost)
+        if A.indices.shape[0] > _AUTO_TRIAL_NNZ_CAP:
             return W2
         W4 = csr_to_cwell(A, plane_pad=plane_pad, group=4)
         # keep Q=4 unless its plane inflation eats the halved-read win
