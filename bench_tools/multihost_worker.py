@@ -94,10 +94,31 @@ def main() -> int:
                 x_np.tobytes(), dtype=np.uint32).sum(dtype=np.uint64)),
         }
 
+    # General-structure path across processes (r4 review pin): the halo
+    # planner must detect non-addressable shards and keep the all_gather
+    # SpMV — without the guard, plan_cwell_halo's host-side metadata
+    # fetch raises on multi-controller meshes.
+    from tpu_sparse.sparse.convert import to_csr
+
+    Ag = to_csr(A)
+    xg, infog, itersg, resg = distributed_cg(Ag, b, mesh=mesh,
+                                             mode="gspmd", tol=1e-6)
+    from jax.experimental import multihost_utils
+
+    xg_np = np.asarray(multihost_utils.process_allgather(xg, tiled=True))
+    relg = float(np.linalg.norm(np.asarray(b) - A @ xg_np)
+                 / np.linalg.norm(np.asarray(b)))
+    results["general_csr"] = {
+        "info": int(infog),
+        "iters": int(itersg),
+        "rel_residual": relg,
+        "x_crc": int(np.frombuffer(
+            xg_np.tobytes(), dtype=np.uint32).sum(dtype=np.uint64)),
+    }
+
     # AMG-PCG: host setup runs identically (deterministically) on every
     # controller; the sharded hierarchy rides through jit as a Partial
     # ARGUMENT (dist/solvers._as_pytree_m) — the multi-host-critical path.
-    from jax.experimental import multihost_utils
 
     from tpu_sparse.dist.amg import distributed_amg_preconditioner
 

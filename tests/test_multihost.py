@@ -76,7 +76,7 @@ def test_two_process_distributed_cg():
     for r in reports:
         assert r["global_devices"] == 8
         assert r["local_devices"] == 4
-        for mode in ("gspmd", "halo", "amg_pcg"):
+        for mode in ("gspmd", "halo", "amg_pcg", "general_csr"):
             stats = r["results"][mode]
             assert stats["info"] == 0, (mode, stats)
             assert stats["rel_residual"] < 1e-5, (mode, stats)
@@ -84,7 +84,7 @@ def test_two_process_distributed_cg():
     assert (by_pid[0]["results"]["amg_pcg"]["iters"]
             < by_pid[0]["results"]["gspmd"]["iters"])
     # both controllers must see the SAME solution, bitwise
-    for mode in ("gspmd", "halo", "amg_pcg"):
+    for mode in ("gspmd", "halo", "amg_pcg", "general_csr"):
         crc0 = by_pid[0]["results"][mode]["x_crc"]
         crc1 = by_pid[1]["results"][mode]["x_crc"]
         assert crc0 == crc1, f"cross-process mismatch in {mode}"
