@@ -70,17 +70,34 @@ def main(argv=None):
         dt = time.time() - t0
         label = f"distributed CG over {mesh.devices.size} devices"
     else:
+        # fused whole-iteration Pallas CG when the system fits its VMEM
+        # layout (r4: 103-105 ms vs ~120-130 for the while-loop path at
+        # this size); while-loop cg_full otherwise
+        from tpu_sparse.kernels.pallas_cg import (fused_cg_ext,
+                                                  make_fused_operator)
         from tpu_sparse.solvers import cg_full
 
-        g = jax.jit(lambda a, rhs: cg_full(a, rhs, tol=args.tol,
-                                           maxiter=args.maxiter))
-        force(g(A, b))  # compile + warm
-        t0 = time.time()
-        out = g(A, b)
-        force(out)
-        dt = time.time() - t0
-        x, info, iters, res = out
-        label = "single-device CG"
+        opf = make_fused_operator(A)
+        if opf is not None:
+            g = jax.jit(lambda o, rhs: fused_cg_ext(
+                o, rhs, tol=args.tol, maxiter=args.maxiter))
+            force(g(opf, b))  # compile + warm
+            t0 = time.time()
+            out = g(opf, b)
+            force(out)
+            dt = time.time() - t0
+            x, info, iters, res = out
+            label = "single-device CG (fused Pallas iteration)"
+        else:
+            g = jax.jit(lambda a, rhs: cg_full(a, rhs, tol=args.tol,
+                                               maxiter=args.maxiter))
+            force(g(A, b))  # compile + warm
+            t0 = time.time()
+            out = g(A, b)
+            force(out)
+            dt = time.time() - t0
+            x, info, iters, res = out
+            label = "single-device CG"
 
     rel = float(res) / float(jnp.linalg.norm(b))
     err = float(jnp.max(jnp.abs(x - x_true)))
