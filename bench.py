@@ -465,6 +465,8 @@ def main():
 
         extra.update({
             "cg_110M_ms": round(best_t * 1e3, 1),
+            "cg_110M_iters": best_it,
+            "cg_110M_converged": bool(int(best_info) == 0),
             "cg_110M_kernel": best_kernel,
             "cg_110M_gnnz_per_s_effective": round(
                 Abig.nnz * best_it / best_t / 1e9, 1),

@@ -94,13 +94,16 @@ def main() -> int:
                 x_np.tobytes(), dtype=np.uint32).sum(dtype=np.uint64)),
         }
 
-    # General-structure path across processes (r4 review pin): the halo
-    # planner must detect non-addressable shards and keep the all_gather
-    # SpMV — without the guard, plan_cwell_halo's host-side metadata
-    # fetch raises on multi-controller meshes.
+    # General-structure path across processes (r5): the halo plan is now
+    # computed from the PRE-SHARD host pack (partition.shard_general_planned)
+    # — every controller derives it identically, so the multi-process mesh
+    # gets cut-volume ppermute exchange, not all_gather. Record the
+    # resolved mode so the launcher can assert cwell_halo engaged.
+    from tpu_sparse.dist.solvers import _shard_and_resolve
     from tpu_sparse.sparse.convert import to_csr
 
     Ag = to_csr(A)
+    _, gmode = _shard_and_resolve(Ag, mesh, "gspmd")
     xg, infog, itersg, resg = distributed_cg(Ag, b, mesh=mesh,
                                              mode="gspmd", tol=1e-6)
     from jax.experimental import multihost_utils
@@ -112,6 +115,7 @@ def main() -> int:
         "info": int(infog),
         "iters": int(itersg),
         "rel_residual": relg,
+        "resolved_mode": gmode,
         "x_crc": int(np.frombuffer(
             xg_np.tobytes(), dtype=np.uint32).sum(dtype=np.uint64)),
     }

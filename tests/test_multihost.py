@@ -80,6 +80,10 @@ def test_two_process_distributed_cg():
             stats = r["results"][mode]
             assert stats["info"] == 0, (mode, stats)
             assert stats["rel_residual"] < 1e-5, (mode, stats)
+    # the general-CSR system must get the cut-volume halo SpMV across
+    # processes (plan built from the pre-shard host copy, r5)
+    for r in reports:
+        assert r["results"]["general_csr"]["resolved_mode"] == "cwell_halo"
     # AMG must actually precondition (fewer iterations than plain CG)
     assert (by_pid[0]["results"]["amg_pcg"]["iters"]
             < by_pid[0]["results"]["gspmd"]["iters"])

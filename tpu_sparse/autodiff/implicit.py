@@ -226,6 +226,12 @@ def _ext_run_f64(method, kw, A, b, x0, M):
     from tpu_sparse.kernels.pallas_spmv import make_extended_operator_f64
 
     op = make_extended_operator_f64(A)
+    if op is None:  # Pallas unavailable / unsupported operand shape
+        raise ValueError(
+            "ext_krylov_diff_f64: double-f32 Pallas operator unavailable "
+            "for this matrix (Pallas disabled or unsupported layout); "
+            "use the XLA f64 path (precision='full' without the ext fast "
+            "path) instead.")
     solver = _SOLVERS[method]
     return solver(op.matvec64, b, x0, M=M, **kw)
 

@@ -114,6 +114,58 @@ def shard_general(A, mesh: Mesh):
                  W.shape, nnz=W.nnz, fill=W.fill)
 
 
+def shard_general_planned(A, mesh: Mesh):
+    """Row-shard a general matrix AND build its halo-exchange plan from
+    the pre-shard host pack (VERDICT r4 #2).
+
+    Unlike ``dist.spmv.plan_cwell_halo`` (which fetches pack metadata
+    from an already-sharded matrix and therefore only works when every
+    shard is addressable), the plan here is computed on the host copy
+    BEFORE placement — every controller of a multi-process mesh derives
+    the identical (wl, wr, srow_local) deterministically, so real pods
+    get cut-volume halo exchange instead of all_gather. Returns
+    ``(W_sharded, halo_or_None)``; halo shares vals/idx2 device buffers
+    with W_sharded (only the shifted srow is an extra placement)."""
+    import numpy as np
+
+    from tpu_sparse.dist.spmv import HaloCWELL, plan_halo_host
+    from tpu_sparse.sparse.cwell import LW, CWELL as _CW, csr_to_cwell
+
+    n_dev = mesh.devices.size
+    W = None
+    if isinstance(A, _CW):
+        n, m = A.shape
+        if n == m and n % (n_dev * LW) == 0 and A.n_blocks % n_dev == 0 \
+                and getattr(A.vals, "is_fully_addressable", True):
+            W = A
+    if W is None and not isinstance(A, _CW):
+        Ac = A
+        if Ac.shape[0] != Ac.shape[1]:
+            raise ValueError("distributed solves need a square system")
+        n_pad = _pad_rows_to(Ac.shape[0], n_dev * LW)
+        from tpu_sparse.sparse.cwell import AUTO_GROUP as _AG
+
+        W = csr_to_cwell(pad_csr_identity(Ac, n_pad), group=_AG)
+    if W is None:  # pre-sharded multi-process CWELL: cannot fetch metadata
+        return shard_general(A, mesh), None
+    sh3 = row_sharding(mesh, ndim=3, row_axis_pos=0)
+    sh2 = row_sharding(mesh, ndim=2, row_axis_pos=0)
+    srow_np = np.asarray(W.srow)
+    used_np = np.asarray(W.vals != 0).any(axis=2)
+    vals_sh = jax.device_put(W.vals, sh3)
+    idx2_sh = jax.device_put(W.idx2, sh3)
+    W_sh = _CW(vals_sh, idx2_sh, jax.device_put(W.srow, sh2),
+                 W.shape, nnz=W.nnz, fill=W.fill, group=W.group)
+    plan = plan_halo_host(srow_np, used_np, W.shape, n_dev)
+    if plan is None:
+        return W_sh, None
+    wl, wr, srow_l = plan
+    W_l = _CW(vals_sh, idx2_sh,
+                jax.device_put(jnp.asarray(srow_l), sh2),
+                W.shape, nnz=W.nnz, fill=W.fill, group=W.group)
+    return W_sh, HaloCWELL(W_l, wl, wr)
+
+
 def shard_dia(A: DIA, mesh: Mesh) -> DIA:
     """Place a DIA matrix row-sharded on the mesh (pads to divisibility).
 

@@ -51,6 +51,11 @@ def _check_precond_divisible(n: int, mesh: Mesh, M, unit: int = 1) -> None:
             f"dimension")
 
 
+from tpu_sparse.utils.opcache import OperandCache
+
+_resolve_cache = OperandCache(max_entries=4)
+
+
 def _shard_and_resolve(A, mesh: Mesh, mode: str):
     """Shard A over the mesh and resolve the effective SpMV mode.
 
@@ -58,21 +63,23 @@ def _shard_and_resolve(A, mesh: Mesh, mode: str):
     automatically degrades to 'allgather' when the stencil bandwidth
     exceeds the shard size (single-hop neighbor halos cannot supply all
     remote columns there). General-structure operators (CSR/COO/BSR/
-    CWELL/...) row-shard as CWELL blocks and always use the all_gather
-    SpMV (no bandwidth assumption) regardless of the requested mode."""
+    CWELL/...) row-shard as CWELL blocks with a halo plan computed from
+    the PRE-SHARD host pack (multi-process capable — every controller
+    derives it identically; see partition.shard_general_planned),
+    falling back to the all_gather SpMV when the partition has no column
+    locality. The shard+pack+plan is cached per (matrix content, mesh,
+    mode) — repeated solves on the same operand pay zero host repacking
+    (ADVICE r4 #4)."""
     if not isinstance(A, DIA):
-        from tpu_sparse.dist.partition import shard_general
-        from tpu_sparse.dist.spmv import plan_cwell_halo
+        from tpu_sparse.dist.partition import shard_general_planned
 
-        W_sh = shard_general(A, mesh)
-        if mode != "allgather":
-            # boundary-volume halo SpMV whenever the pack's column
-            # windows fit single-hop neighbor exchange (receive volume =
-            # partition cut, not n); explicit mode='allgather' skips
-            plan = plan_cwell_halo(W_sh, mesh)
-            if plan is not None:
+        def _build():
+            W_sh, plan = shard_general_planned(A, mesh)
+            if mode != "allgather" and plan is not None:
                 return plan, "cwell_halo"
-        return W_sh, "cwell_allgather"
+            return W_sh, "cwell_allgather"
+
+        return _resolve_cache.get_or_build(A, _build, extra=(mesh, mode))
     A_sh = shard_dia(A, mesh)
     if mode == "halo" and A_sh.bandwidth > A_sh.shape[0] // mesh.devices.size:
         mode = "allgather"

@@ -155,44 +155,32 @@ class HaloCWELL:
         return cls(children[0], aux[0], aux[1])
 
 
-def plan_cwell_halo(W, mesh: Mesh):
-    """Host-side halo plan for a row-sharded CWELL (concrete arrays).
+def plan_halo_host(srow_np, used_np, shape, n_dev: int):
+    """Pure host-side halo planner on CWELL pack metadata.
 
-    Computes each device's needed column range from the pack metadata
-    (window srow of planes that hold any nonzero), derives uniform halo
-    widths wl/wr, and returns a HaloCWELL with srow shifted to the local
-    frame — or None when any device's windows overhang beyond its
-    immediate neighbors (single-hop halos cannot supply them; caller
-    keeps the all_gather SpMV)."""
+    ``srow_np``/``used_np`` are the (n_blocks, S) window-start and
+    plane-has-nnz arrays of the UNSHARDED pack; every controller of a
+    multi-process mesh computes the identical plan from its own host
+    copy (deterministic numpy). Returns ``(wl, wr, srow_local)`` or
+    ``None`` when the exchange would not beat all_gather (hops spanning
+    the whole ring, or cut volume ~n)."""
     import numpy as np
 
-    from tpu_sparse.sparse.cwell import LW, CWELL
+    from tpu_sparse.sparse.cwell import LW
 
-    n, m = W.shape
-    n_dev = mesh.devices.size
-    if n != m or W.n_blocks % n_dev != 0:
-        return None
-    # multi-process meshes: the pack metadata spans non-addressable
-    # devices and cannot be fetched for host-side planning — keep the
-    # all_gather SpMV there (single-controller planning would need the
-    # pre-shard host copy, a r5 item)
-    if not (getattr(W.srow, "is_fully_addressable", True)
-            and getattr(W.vals, "is_fully_addressable", True)):
+    n, m = shape
+    n_blocks = srow_np.shape[0]
+    if n != m or n_blocks % n_dev != 0 or not used_np.any():
         return None
     s = n // n_dev
-    nb_loc = W.n_blocks // n_dev
-    srow = np.asarray(W.srow)            # (n_blocks, S)
-    used = np.asarray(
-        jnp.any(W.vals != 0, axis=2))    # (n_blocks, S) plane has nnz
-    if not used.any():
-        return None
+    nb_loc = n_blocks // n_dev
     wl = wr = 0
     for d in range(n_dev):
         blk = slice(d * nb_loc, (d + 1) * nb_loc)
-        u = used[blk]
+        u = used_np[blk]
         if not u.any():
             continue
-        sr = srow[blk][u]
+        sr = srow_np[blk][u]
         lo = int(sr.min()) * LW
         hi = (int(sr.max()) + 2) * LW
         wl = max(wl, d * s - lo)
@@ -207,9 +195,38 @@ def plan_cwell_halo(W, mesh: Mesh):
     # shift srow into each device's local frame [d*s - wl, (d+1)*s + wr)
     dev_of_block = np.repeat(np.arange(n_dev), nb_loc)
     shift = (dev_of_block * s - wl) // LW   # (n_blocks,)
-    srow_l = srow - shift[:, None]
+    srow_l = srow_np - shift[:, None]
     hi_clamp = (wl + s + wr) // LW - 2
-    srow_l = np.clip(srow_l, 0, max(hi_clamp, 0)).astype(srow.dtype)
+    srow_l = np.clip(srow_l, 0, max(hi_clamp, 0)).astype(srow_np.dtype)
+    return wl, wr, srow_l
+
+
+def plan_cwell_halo(W, mesh: Mesh):
+    """Halo plan for an ALREADY-SHARDED CWELL (fetches pack metadata to
+    host — single-controller only; multi-process solves get their plan
+    from the pre-shard host copy in ``partition.shard_general`` instead,
+    which this function merely mirrors).
+
+    Returns a HaloCWELL with srow shifted to the local frame — or None
+    when any device's windows overhang beyond what the ring exchange can
+    supply (caller keeps the all_gather SpMV)."""
+    import numpy as np
+
+    from tpu_sparse.sparse.cwell import CWELL
+
+    n_dev = mesh.devices.size
+    if W.shape[0] != W.shape[1] or W.n_blocks % n_dev != 0:
+        return None
+    if not (getattr(W.srow, "is_fully_addressable", True)
+            and getattr(W.vals, "is_fully_addressable", True)):
+        return None  # direct call on a multi-process pack: cannot fetch
+    srow = np.asarray(W.srow)            # (n_blocks, S)
+    used = np.asarray(
+        jnp.any(W.vals != 0, axis=2))    # (n_blocks, S) plane has nnz
+    plan = plan_halo_host(srow, used, W.shape, n_dev)
+    if plan is None:
+        return None
+    wl, wr, srow_l = plan
     W_l = CWELL(W.vals, W.idx2,
                 jax.device_put(jnp.asarray(srow_l), W.srow.sharding),
                 W.shape, nnz=W._nnz, fill=W.fill, group=W.group)

@@ -369,28 +369,32 @@ def fused_cg_ext(op: ExtendedStencilOperator, b: jax.Array, *,
               hi_chunk=op.Wl // op.C + op.n_pad // op.C, K=K)
 
     def body(state):
-        x, r, p, hist, done_iters, _ = state
+        x, r, p, hist, done_iters, _, first_iter = state
         x, r, p, hist2d = _fused_cg_block(x, r, p, op.data_p, dinv_ext,
                                           **kw)
         hist = hist2d[:, 0]
-        return (x, r, p, hist, done_iters + K, hist[K - 1])
+        # global first crossing: ||r||^2 is not monotone in CG, so a
+        # mid-launch crossing must stop the outer loop even if the
+        # boundary value bounced back above thresh2
+        crossed = hist <= thresh2
+        cand = done_iters + jnp.argmax(crossed).astype(jnp.int32) + 1
+        first_iter = jnp.where((first_iter < 0) & jnp.any(crossed),
+                               cand, first_iter)
+        return (x, r, p, hist, done_iters + K, hist[K - 1], first_iter)
 
     def cond(state):
-        _, _, _, _, done_iters, rr_last = state
-        return (rr_last > thresh2) & (done_iters < maxiter) \
+        _, _, _, _, done_iters, rr_last, first_iter = state
+        return (first_iter < 0) & (done_iters < maxiter) \
             & jnp.isfinite(rr_last)
 
     big = jnp.float32(3.0e38)  # finite so the first cond passes
     x0 = jnp.zeros_like(b_ext)
     p0 = b_ext if dinv_ext is None else dinv_ext * b_ext  # z0 = D⁻¹ r0
     state0 = (x0, b_ext, p0, jnp.full((K,), big, jnp.float32),
-              jnp.array(0, jnp.int32), big)
-    x, r, p, hist, done, rr_last = jax.lax.while_loop(cond, body, state0)
-    # exact iteration count: first crossing inside the final launch
-    crossed = hist <= thresh2
-    first = jnp.argmax(crossed)
-    any_crossed = jnp.any(crossed)
-    iters = jnp.where(any_crossed, done - K + first + 1, done)
+              jnp.array(0, jnp.int32), big, jnp.array(-1, jnp.int32))
+    x, r, p, hist, done, rr_last, first_iter = jax.lax.while_loop(
+        cond, body, state0)
+    iters = jnp.where(first_iter >= 0, first_iter, done)
     # cg_full contract: the reported residual/info come from the TRUE
     # residual (one extra SpMV), not the f32 recurrence value
     from tpu_sparse.solvers.krylov import _final_check_relax
