@@ -791,7 +791,9 @@ def main():
                 os.path.dirname(os.path.abspath(__file__)),
                 "bench_tools", "comm_model.py"),
              "--nx", "96", "--target-devices", "16",
-             "--mesh-dims", "4", "4"],
+             "--mesh-dims", "4", "4",
+             "--cwell-gnnz", str(extra.get(
+                 "cwell_general_spmv_gnnz_per_s", 39.5))],
             capture_output=True, text=True, timeout=900, env=env)
         for line in proc2.stdout.splitlines():
             line = line.strip()

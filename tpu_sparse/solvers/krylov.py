@@ -336,16 +336,75 @@ def _sub_from_columns(V, h, x):
     return tree_map(leaf_sub, x, V)
 
 
-def _iterative_classical_gram_schmidt(V, x, max_passes: int = 2):
+_PROJ_BLOCK = 8  # basis columns per blocked-projection step
+
+
+def _project_on_prefix(V, x, kplus):
+    """h[j] = <V_j, x> for the filled prefix j < kplus (later columns are
+    structurally zero). Blocked dynamic-prefix sweep: HBM traffic scales
+    with the FILLED basis, not the restart width — at 110M nnz the full
+    einsum made every Arnoldi step pay 4 x restart x 16 MB of CGS2
+    traffic regardless of k (r4 VERDICT #4). Requires the trailing basis
+    axis padded to a multiple of _PROJ_BLOCK (the cycle drivers do)."""
+    leaves_V = tree_leaves(V)
+    leaves_x = tree_leaves(x)
+    m1p = leaves_V[0].shape[-1]
+    BK = min(_PROJ_BLOCK, m1p)
+    res_dtype = jnp.result_type(*[Vl.dtype for Vl in leaves_V])
+    nb = jnp.minimum((kplus + BK - 1) // BK, m1p // BK)
+
+    def body(bidx, h):
+        off = bidx * BK
+        acc = jnp.zeros((BK,), res_dtype)
+        for Vl, xl in zip(leaves_V, leaves_x):
+            Vb = lax.dynamic_slice_in_dim(Vl, off, BK, axis=-1)
+            acc = acc + jnp.einsum(
+                "...k,...->k", Vb.conj(), xl,
+                precision=lax.Precision.HIGHEST).astype(res_dtype)
+        return lax.dynamic_update_slice(h, acc, (off,))
+
+    return lax.fori_loop(0, nb, body, jnp.zeros((m1p,), res_dtype))
+
+
+def _sub_from_prefix(V, h, x, kplus):
+    """x - V[:, :kplus] @ h[:kplus], blocked like _project_on_prefix."""
+    leaves_V = tree_leaves(V)
+    m1p = leaves_V[0].shape[-1]
+    BK = min(_PROJ_BLOCK, m1p)
+    nb = jnp.minimum((kplus + BK - 1) // BK, m1p // BK)
+
+    def body(bidx, xs):
+        off = bidx * BK
+        hb = lax.dynamic_slice(h, (off,), (BK,))
+        return tree_map(
+            lambda xl, Vl: xl - jnp.einsum(
+                "...k,k->...",
+                lax.dynamic_slice_in_dim(Vl, off, BK, axis=-1),
+                hb.astype(Vl.dtype),
+                precision=lax.Precision.HIGHEST), xs, V)
+
+    return lax.fori_loop(0, nb, body, x)
+
+
+def _iterative_classical_gram_schmidt(V, x, kplus=None, max_passes: int = 2):
     """CGS2: two classical Gram-Schmidt passes (numerically equivalent to the
     reference's conditional re-orthogonalization, :284-328, which performs up
     to two passes; two unconditional passes is the standard stable variant
-    and keeps the TPU program static)."""
-    h = _project_on_columns(V, x)
-    q = _sub_from_columns(V, h, x)
+    and keeps the TPU program static). ``kplus`` (number of filled basis
+    columns) switches to the blocked prefix sweeps."""
+    if kplus is None:
+        h = _project_on_columns(V, x)
+        q = _sub_from_columns(V, h, x)
+        for _ in range(max_passes - 1):
+            dh = _project_on_columns(V, q)
+            q = _sub_from_columns(V, dh, q)
+            h = h + dh
+        return q, h
+    h = _project_on_prefix(V, x, kplus)
+    q = _sub_from_prefix(V, h, x, kplus)
     for _ in range(max_passes - 1):
-        dh = _project_on_columns(V, q)
-        q = _sub_from_columns(V, dh, q)
+        dh = _project_on_prefix(V, q, kplus)
+        q = _sub_from_prefix(V, dh, q, kplus)
         h = h + dh
     return q, h
 
@@ -359,11 +418,12 @@ def _kth_arnoldi_iteration(k, A, M, V, H):
     v_k = tree_map(lambda Vl: Vl[..., k], V)
     w = M(A(v_k))
     tol_k = eps * tree_norm(w)  # breakdown threshold from pre-orthog norm
-    w, h = _iterative_classical_gram_schmidt(V, w)
+    w, h = _iterative_classical_gram_schmidt(V, w, kplus=k + 1)
     unit_w, w_norm = _safe_normalize(w, thresh=tol_k)
     V = tree_map(
         lambda Vl, ul: Vl.at[..., k + 1].set(ul.astype(Vl.dtype)), V, unit_w
     )
+    h = h[:H.shape[1]].astype(dtype)  # trailing axis may be block-padded
     h = h.at[k + 1].set(w_norm.astype(dtype))
     H = H.at[k, :].set(h)
     breakdown = w_norm == 0.0
@@ -459,8 +519,9 @@ def _gmres_batched(A, b, x0, unit_residual, residual_norm, ptol, restart, M):
     """One restart cycle, batched solve method (reference :431-493):
     run the full Arnoldi sweep, then solve one least-squares problem."""
     dtype = _float_dtype(b)
+    pad_cols = -(-(restart + 1) // _PROJ_BLOCK) * _PROJ_BLOCK - 1
     V0 = tree_map(
-        lambda u: jnp.pad(u[..., None], [(0, 0)] * u.ndim + [(0, restart)]),
+        lambda u: jnp.pad(u[..., None], [(0, 0)] * u.ndim + [(0, pad_cols)]),
         unit_residual,
     )
     H0 = jnp.zeros((restart, restart + 1), dtype)
@@ -538,8 +599,9 @@ def _gmres_incremental(A, b, x0, unit_residual, residual_norm, ptol, restart, M)
     """One restart cycle, incremental (Givens QR) method (reference :557-638).
     Gives a free running residual estimate and in-cycle early exit."""
     dtype = _float_dtype(b)
+    pad_cols = -(-(restart + 1) // _PROJ_BLOCK) * _PROJ_BLOCK - 1
     V0 = tree_map(
-        lambda u: jnp.pad(u[..., None], [(0, 0)] * u.ndim + [(0, restart)]),
+        lambda u: jnp.pad(u[..., None], [(0, 0)] * u.ndim + [(0, pad_cols)]),
         unit_residual,
     )
     R0 = jnp.zeros((restart, restart), dtype)

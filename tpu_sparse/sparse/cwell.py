@@ -244,7 +244,7 @@ def csr_to_cwell(A: CSR, *, plane_pad: int = 8,
     # (fresh-page population costs ~6 s/GB on this host).
     # (group8 packs take the numpy path; extend the C++ pack if the
     # grouped kernel wins its on-chip A/B.)
-    if not group8 and nnz >= (1 << 20) \
+    if not group8 and nnz >= (1 << 14) \
             and data.dtype in (np.float32, np.float64) \
             and _cols_sorted(indptr, cols):
         from tpu_sparse import native
