@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _BLOCK = 128  # = CWELL lane width; one diag block per 128 rows
+_LITE_UNROLL = 32  # plane groups unrolled per super-step in level packs
 
 
 def _compute_levels(bi, bj, B: int, ascending: bool):
@@ -96,9 +97,18 @@ def _pack_operator(off_scipy, dtype):
         return None
 
     def _s_ok(S):
+        # VMEM window budget only: the packs run in compile-lite mode
+        # (unroll_cap below), so plane count no longer multiplies Mosaic
+        # compile time and the 384-group full-unroll cap does not apply
         S = -(-int(S) // 8) * 8
-        return (4 * 8 * S * LW * 4 <= _WINDOW_VMEM_BUDGET
-                and S // 8 <= 384)
+        return 4 * 8 * S * LW * 4 <= _WINDOW_VMEM_BUDGET
+
+    def _lite(W):
+        # bound per-kernel unrolled code: a solve program holds ~2 packs
+        # per level x ~50 levels, and full unroll costs ~0.65 s compile
+        # per plane group (r5 measurement: 363 groups = 235 s)
+        W.unroll_cap = _LITE_UNROLL
+        return W
 
     rows, cols = off.shape
     if rows % LW == 0 and cols % LW == 0 and cols <= _X_VMEM_LIMIT:
@@ -107,26 +117,83 @@ def _pack_operator(off_scipy, dtype):
         S_full = np.bincount(blk, weights=planes).max()
         try:
             if _s_ok(S_full):
-                return csr_to_cwell(csr, group=1)
+                return _lite(csr_to_cwell(csr, group=1))
             # segmented: S per (block, segment) = sum of its window planes
             for seg_cols in (1 << 16, 1 << 14, 1 << 12):
                 nseg_w = seg_cols // WIN
                 key = blk * ((cols // WIN) // nseg_w + 1) + win // nseg_w
                 S_seg = np.bincount(key, weights=planes).max()
                 if _s_ok(S_seg):
-                    return csr_to_cwell_segments(csr, seg_cols=seg_cols,
-                                                 group=1)
+                    seg = csr_to_cwell_segments(csr, seg_cols=seg_cols,
+                                                group=1)
+                    for Wc in seg.segments:
+                        _lite(Wc)
+                    return seg
         except Exception:
             pass
     return csr
+
+
+def _block_plane_est(ro, co, s):
+    """Estimated CWELL planes per row-block for entry lists (slot
+    coordinates): per (block, 256-col window) max row count, summed per
+    block. Mirrors the packer's S accounting."""
+    from tpu_sparse.sparse.cwell import WIN
+
+    blk = ro // s
+    if len(blk) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    nwin_max = int(co.max()) // WIN + 1
+    key = (blk * nwin_max + co // WIN) * s + ro % s
+    uk, cnt = np.unique(key, return_counts=True)
+    bw = uk // s
+    grp = np.flatnonzero(np.r_[True, bw[1:] != bw[:-1]])
+    maxc = np.maximum.reduceat(cnt, grp)
+    ub = bw[grp] // nwin_max
+    S_b = np.zeros(int(blk.max()) + 1, np.int64)
+    np.add.at(S_b, ub, maxc)
+    return S_b
+
+
+def _row_groups(S_b, ratio: float = 4.0, max_groups: int = 6):
+    """Split a level's blocks (slot order) into runs of similar plane
+    counts. A new group starts when the within-group max/min plane ratio
+    would exceed ``ratio``; the split is KEPT only when the estimated
+    slot saving is >1.7x (each group pads to its own max instead of the
+    level max) — bounding both padding waste and kernel count."""
+    nb = len(S_b)
+    Sb = np.maximum(S_b, 1)
+    bounds = [0]
+    mx = mn = Sb[0]
+    for i in range(1, nb):
+        v = Sb[i]
+        if max(mx, v) > ratio * min(mn, v) and len(bounds) < max_groups:
+            bounds.append(i)
+            mx = mn = v
+        else:
+            mx = max(mx, v)
+            mn = min(mn, v)
+    bounds.append(nb)
+    groups = [(bounds[i], bounds[i + 1] - bounds[i])
+              for i in range(len(bounds) - 1)]
+    if len(groups) == 1:
+        return groups
+    whole = nb * int(Sb.max())
+    split = sum(g_nb * int(Sb[g0:g0 + g_nb].max()) for g0, g_nb in groups)
+    return groups if whole > 1.7 * split else [(0, nb)]
 
 
 def _grouped_packs(ro, co, vo, row_lev, ranges, n_levels, n_pad, dtype,
                    skip_level: int):
     """Build per-level device operators from level-mapped entries.
 
-    ``skip_level`` is the level with no incoming dependencies (0 for
-    forward schedules, n_levels-1 for reverse ones): it gets None."""
+    Each level yields None (no dependencies) or a tuple of
+    ``(row_offset, rows, operator)`` groups partitioning the level's
+    rows: factor levels mix plane-rich separator blocks with sparse leaf
+    blocks, and a single pack pads every block to the level max
+    (measured r5: the transpose-U pack set alone was 3.3 GB at <2%
+    fill). ``skip_level`` is the level with no incoming dependencies
+    (0 forward, n_levels-1 reverse)."""
     import scipy.sparse as sp
 
     order_e = np.argsort(row_lev, kind="stable")
@@ -134,17 +201,39 @@ def _grouped_packs(ro, co, vo, row_lev, ranges, n_levels, n_pad, dtype,
                            row_lev[order_e])
     lv_starts = np.searchsorted(row_lev, np.arange(n_levels))
     lv_ends = np.searchsorted(row_lev, np.arange(n_levels) + 1)
+    s = _BLOCK
     packs = []
+    metas = []
     for lv in range(n_levels):
         a, b = ranges[lv]
         e0, e1 = int(lv_starts[lv]), int(lv_ends[lv])
         if lv == skip_level or e1 <= e0:
             packs.append(None)
+            metas.append(None)
             continue
-        sub = sp.csr_matrix(
-            (vo[e0:e1], (ro[e0:e1] - a, co[e0:e1])), shape=(b - a, n_pad))
-        packs.append(_pack_operator(sub, dtype))
-    return tuple(packs)
+        ro_l = ro[e0:e1] - a
+        co_l, vo_l = co[e0:e1], vo[e0:e1]
+        S_b = _block_plane_est(ro_l, co_l, s)
+        nb_lv = (b - a) // s
+        if len(S_b) < nb_lv:  # trailing blocks with no entries
+            S_b = np.r_[S_b, np.zeros(nb_lv - len(S_b), np.int64)]
+        groups = _row_groups(S_b)
+        ops = []
+        shapes = []
+        for g0, g_nb in groups:
+            r0, r1 = g0 * s, (g0 + g_nb) * s
+            m = (ro_l >= r0) & (ro_l < r1)
+            shapes.append((r0, r1 - r0))
+            if not m.any():
+                ops.append(None)
+                continue
+            sub = sp.csr_matrix(
+                (vo_l[m], (ro_l[m] - r0, co_l[m])),
+                shape=(r1 - r0, n_pad))
+            ops.append(_pack_operator(sub, dtype))
+        packs.append(tuple(ops))
+        metas.append(tuple(shapes))
+    return tuple(packs), tuple(metas)
 
 
 def _layout_and_packs(T_coo, row_map, n_pad: int, s: int,
@@ -190,8 +279,14 @@ def _layout_and_packs(T_coo, row_map, n_pad: int, s: int,
     starts = ends - counts * s
     ranges = tuple((int(a), int(b)) for a, b in zip(starts, ends))
 
-    # dense diagonal blocks in level order (directly in target dtype)
-    diag = np.zeros((B, s, s), dtype=np.dtype(dtype))
+    # dense diagonal blocks in level order, PRE-INVERTED in f64: XLA's
+    # batched triangular_solve is latency-bound on TPU (measured r5:
+    # 25 ms device for one (2384,128,128) batch — 128 dependent tiny
+    # steps), while the explicit-inverse apply is one batched MXU matmul
+    # (microseconds). Blocks come from a threshold-pivoted LU, so the
+    # triangular inverses are well-conditioned; the router's iterative-
+    # refinement step absorbs the f32 rounding.
+    diag = np.zeros((B, s, s), dtype=np.float64)
     rs, cs, vs = slot[r[same]], slot[c[same]], v[same]
     diag[rs // s, rs % s, cs % s] = vs
     all_slots = np.ones(n_pad, bool)
@@ -206,44 +301,52 @@ def _layout_and_packs(T_coo, row_map, n_pad: int, s: int,
         have[rs[rs == cs]] = True
         fix = np.nonzero(real & ~have)[0]
         diag[fix // s, fix % s, fix % s] = 1.0
-    diag_j = jnp.asarray(diag)
+    diag_j = jnp.asarray(np.linalg.inv(diag).astype(np.dtype(dtype)))
 
     # per-level off-diagonal packs (rows AND columns in level order)
     ro, co, vo = slot[r[~same]], slot[c[~same]], v[~same]
-    packs = _grouped_packs(ro, co, vo, lev_sorted[ro // s], ranges,
-                           n_levels, n_pad, dtype, skip_level=0)
-    packs_t = ()
+    packs, meta = _grouped_packs(ro, co, vo, lev_sorted[ro // s], ranges,
+                                 n_levels, n_pad, dtype, skip_level=0)
+    packs_t, meta_t = (), ()
     if with_transpose:
-        packs_t = _grouped_packs(co, ro, vo, lev_sorted[co // s], ranges,
-                                 n_levels, n_pad, dtype,
-                                 skip_level=n_levels - 1)
-    return diag_j, packs, packs_t, ranges, slot
+        packs_t, meta_t = _grouped_packs(
+            co, ro, vo, lev_sorted[co // s], ranges, n_levels, n_pad,
+            dtype, skip_level=n_levels - 1)
+    return diag_j, (packs, meta), (packs_t, meta_t), ranges, slot
 
 
-def _level_solve(diag, packs, ranges, bp, *, lower: bool,
-                 transpose: bool, unit: bool, reverse: bool = False):
+def _level_solve(diag_inv, packs, meta, ranges, bp, *, transpose: bool,
+                 reverse: bool = False):
     """Level-scheduled triangular solve: y[level l] =
-    D_l^{-1} (bp - N_l y)[level l], one SpMV + one batched trisolve per
-    level (static unrolled loop; every factor entry touched once).
-    ``reverse=True`` runs the levels last-to-first — with the transpose
-    pack set and ``transpose=True`` this solves T^T in the same layout."""
+    D_l^{-1} (bp - N_l y)[level l], one SpMV + one batched MXU matmul
+    against the pre-inverted diagonal blocks per level (static unrolled
+    loop; every factor entry touched once). ``reverse=True`` runs the
+    levels last-to-first — with the transpose pack set and
+    ``transpose=True`` this solves T^T in the same layout."""
     from jax import lax
 
     from tpu_sparse.kernels import spmv
 
-    B, s, _ = diag.shape
+    B, s, _ = diag_inv.shape
+    eq = "bji,bj->bi" if transpose else "bij,bj->bi"
     y = jnp.zeros_like(bp)
-    sched = zip(reversed(ranges), reversed(packs)) if reverse \
-        else zip(ranges, packs)
-    for (a, b), N in sched:
+    sched = zip(reversed(ranges), reversed(packs), reversed(meta)) \
+        if reverse else zip(ranges, packs, meta)
+    for (a, b), groups, shapes in sched:
         if b <= a:
             continue
         seg = bp[a:b]
-        if N is not None:
-            seg = seg - spmv(N, y)
-        blk = lax.linalg.triangular_solve(
-            diag[a // s:b // s], seg.reshape(-1, s, 1), left_side=True,
-            lower=lower, transpose_a=transpose, unit_diagonal=unit)
+        if groups is not None:
+            # groups partition the level's rows (similar plane counts
+            # per group); empty groups contribute no correction
+            corr = [jnp.zeros((rows_g,), bp.dtype) if N is None
+                    else spmv(N, y)
+                    for N, (_, rows_g) in zip(groups, shapes)]
+            seg = seg - (corr[0] if len(corr) == 1
+                         else jnp.concatenate(corr))
+        blk = jnp.einsum(eq, diag_inv[a // s:b // s],
+                         seg.reshape(-1, s),
+                         precision=lax.Precision.HIGHEST)
         y = y.at[a:b].set(blk.reshape(-1))
     return y
 
@@ -265,8 +368,8 @@ class SupernodalLU:
 
     def __init__(self, diagL, diagU, packsL, packsU, packsLT, packsUT,
                  in_idx, mid_idx, out_idx, in_idx_t, mid_idx_t,
-                 out_idx_t, rangesL, rangesU, shape: Tuple[int, int],
-                 block: int = _BLOCK):
+                 out_idx_t, rangesL, rangesU, metaL, metaU, metaLT,
+                 metaUT, shape: Tuple[int, int], block: int = _BLOCK):
         self.diagL, self.diagU = diagL, diagU
         self.packsL, self.packsU = packsL, packsU
         self.packsLT, self.packsUT = packsLT, packsUT
@@ -274,12 +377,15 @@ class SupernodalLU:
         self.in_idx_t, self.mid_idx_t = in_idx_t, mid_idx_t
         self.out_idx_t = out_idx_t
         self.rangesL, self.rangesU = rangesL, rangesU
+        self.metaL, self.metaU = metaL, metaU
+        self.metaLT, self.metaUT = metaLT, metaUT
         self.shape = tuple(int(x) for x in shape)
         self.block = int(block)
 
     def tree_flatten(self):
         return (tuple(getattr(self, k) for k in self._CHILDREN),
-                (self.rangesL, self.rangesU, self.shape, self.block))
+                (self.rangesL, self.rangesU, self.metaL, self.metaU,
+                 self.metaLT, self.metaUT, self.shape, self.block))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -301,8 +407,11 @@ class SupernodalLU:
 
         for packs in (self.packsL, self.packsU, self.packsLT,
                       self.packsUT):
-            if any(isinstance(p, CSR) for p in packs):
-                return False
+            for level in packs:
+                if level is None:
+                    continue
+                if any(isinstance(N, CSR) for N in level):
+                    return False
         return True
 
     # -- setup (host) -----------------------------------------------------
@@ -314,7 +423,27 @@ class SupernodalLU:
 
         ``with_transpose=False`` skips the adjoint-solve pack set
         (halves off-diagonal pack memory; ``solve_transpose``/autodiff
-        unavailable)."""
+        unavailable).
+
+        All device arrays are STAGED ON THE CPU backend during setup and
+        moved in one batched ``jax.device_put`` of the whole pytree at
+        the end: the ~400 individual leaf transfers otherwise each pay
+        the remote runtime's RTT (measured r5: 247 s of the TPU-session
+        setup was transfer round trips)."""
+        dev = jax.devices()[0]
+        cpu = jax.devices("cpu")[0]
+        if dev.platform == "cpu":
+            return SupernodalLU._factor_host(A, block, leaf,
+                                             with_transpose)
+        with jax.default_device(cpu):
+            lu = SupernodalLU._factor_host(A, block, leaf, with_transpose)
+        from tpu_sparse.utils.transfer import batched_device_put
+
+        return batched_device_put(lu, dev)
+
+    @staticmethod
+    def _factor_host(A, block: int, leaf: int,
+                     with_transpose: bool) -> "SupernodalLU":
         import scipy.sparse as sp
         import scipy.sparse.linalg as spl
 
@@ -348,12 +477,14 @@ class SupernodalLU:
         perm_r = np.asarray(lu.perm_r, dtype=np.int64)
         perm_c = np.asarray(lu.perm_c, dtype=np.int64)
 
-        diagL, packsL, packsLT, rangesL, slotL = _layout_and_packs(
-            Lc, row_map, n_pad, s, True, dtype, unit_lower=True,
-            with_transpose=with_transpose)
-        diagU, packsU, packsUT, rangesU, slotU = _layout_and_packs(
-            Uc, row_map, n_pad, s, False, dtype, unit_lower=False,
-            with_transpose=with_transpose)
+        diagL, (packsL, metaL), (packsLT, metaLT), rangesL, slotL = \
+            _layout_and_packs(Lc, row_map, n_pad, s, True, dtype,
+                              unit_lower=True,
+                              with_transpose=with_transpose)
+        diagU, (packsU, metaU), (packsUT, metaUT), rangesU, slotU = \
+            _layout_and_packs(Uc, row_map, n_pad, s, False, dtype,
+                              unit_lower=False,
+                              with_transpose=with_transpose)
 
         # index plumbing. The permuted system is Ap x' = b' with
         # b'_i = b[sigma_i], x[sigma_i] = x'_i; splu then wants
@@ -380,7 +511,8 @@ class SupernodalLU:
             diagL, diagU, packsL, packsU, packsLT, packsUT,
             i32(in_scatter), i32(mid), i32(out_scatter),
             i32(in_scatter_t), i32(mid_t), i32(out_scatter_t),
-            rangesL, rangesU, (n, n), block=s)
+            rangesL, rangesU, metaL, metaU, metaLT, metaUT, (n, n),
+            block=s)
 
     # -- solves (device, jit-safe) ----------------------------------------
 
@@ -390,11 +522,10 @@ class SupernodalLU:
             return jax.vmap(self.solve, in_axes=-1, out_axes=-1)(b)
         wt = self.diagL.dtype
         bp = jnp.zeros(self.n_pad, wt).at[self.in_idx].set(b.astype(wt))
-        y = _level_solve(self.diagL, self.packsL, self.rangesL, bp,
-                         lower=True, transpose=False, unit=True)
-        z = _level_solve(self.diagU, self.packsU, self.rangesU,
-                         y[self.mid_idx], lower=False, transpose=False,
-                         unit=False)
+        y = _level_solve(self.diagL, self.packsL, self.metaL,
+                         self.rangesL, bp, transpose=False)
+        z = _level_solve(self.diagU, self.packsU, self.metaU,
+                         self.rangesU, y[self.mid_idx], transpose=False)
         return z[self.out_idx].astype(b.dtype)
 
     def solve_transpose(self, b: jax.Array) -> jax.Array:
@@ -408,12 +539,11 @@ class SupernodalLU:
                 "unavailable")
         wt = self.diagL.dtype
         bp = jnp.zeros(self.n_pad, wt).at[self.in_idx_t].set(b.astype(wt))
-        w = _level_solve(self.diagU, self.packsUT, self.rangesU, bp,
-                         lower=False, transpose=True, unit=False,
+        w = _level_solve(self.diagU, self.packsUT, self.metaUT,
+                         self.rangesU, bp, transpose=True, reverse=True)
+        y = _level_solve(self.diagL, self.packsLT, self.metaLT,
+                         self.rangesL, w[self.mid_idx_t], transpose=True,
                          reverse=True)
-        y = _level_solve(self.diagL, self.packsLT, self.rangesL,
-                         w[self.mid_idx_t], lower=True, transpose=True,
-                         unit=True, reverse=True)
         return y[self.out_idx_t].astype(b.dtype)
 
 

@@ -269,3 +269,56 @@ def as_matvec(A) -> Callable:
     if is_sparse(A) or isinstance(A, (jax.Array,)) or hasattr(A, "ndim"):
         return lambda x: spmv(A, x)
     raise TypeError(f"unsupported operator type: {type(A)}")
+
+
+def split_complex_operator(A, real_dtype=None):
+    """Host-side split of a complex-valued sparse container (or dense
+    matrix) into device-resident REAL (Ar, Ai) operands — the TPU-native
+    complex representation (this runtime cannot materialize complex
+    arrays; r5 VERDICT #7). ``Ai`` is None for real operands."""
+    import numpy as np
+
+    if real_dtype is None:
+        real_dtype = (jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+    if not hasattr(A, "with_data"):
+        An = np.asarray(A)
+        if np.iscomplexobj(An):
+            return (jnp.asarray(An.real.astype(real_dtype)),
+                    jnp.asarray(An.imag.astype(real_dtype)))
+        return jnp.asarray(An.astype(real_dtype)), None
+    data = getattr(A, "data", None)
+    if data is None or not hasattr(data, "dtype"):
+        data = A.vals  # CWELL
+    dn = np.asarray(data)
+    if np.iscomplexobj(dn):
+        return (A.with_data(jnp.asarray(dn.real.astype(real_dtype))),
+                A.with_data(jnp.asarray(dn.imag.astype(real_dtype))))
+    return A.with_data(jnp.asarray(dn.astype(real_dtype))), None
+
+
+def complex_pair_spmv(Ar, Ai, xr, xi):
+    """(Ar + i·Ai) @ (xr + i·xi) as real Pallas SpMVs on device:
+    returns (yr, yi). ``Ai``/``xi`` may be None for real parts."""
+    if xi is None:
+        xi = jnp.zeros_like(xr)
+    if Ai is None:
+        return spmv(Ar, xr), spmv(Ar, xi)
+    yr = spmv(Ar, xr) - spmv(Ai, xi)
+    yi = spmv(Ar, xi) + spmv(Ai, xr)
+    return yr, yi
+
+
+def complex_pair_spmm(Ar, Ai, Br, Bi):
+    """(Ar + i·Ai) @ (Br + i·Bi) for (n, k) RHS blocks through the SpMM
+    dispatch (gather-contraction CWELL / DIA shifted-multiply): returns
+    (Cr, Ci). The complex-SpMM capability class of torch.sparse.mm on
+    complex tensors, kept in split-real form so it runs on runtimes
+    without complex array support."""
+    if Bi is None:
+        Bi = jnp.zeros_like(Br)
+    if Ai is None:
+        return spmm(Ar, Br), spmm(Ar, Bi)
+    Cr = spmm(Ar, Br) - spmm(Ai, Bi)
+    Ci = spmm(Ar, Bi) + spmm(Ai, Br)
+    return Cr, Ci

@@ -46,7 +46,7 @@ _X_VMEM_LIMIT = 1536 * 1024  # elements (6 MB f32)
 
 
 def _cwell_kernel(srow_ref, x2d_ref, vals_ref, idx2_ref, y_ref, xw,
-                  *, RB, S):
+                  *, RB, S, UCAP=None):
     """srow_ref: (1, RB, S) SMEM block; x2d_ref: (R, 128) VMEM (whole x);
     vals_ref/idx2_ref: (RB, S, 128) VMEM blocks; y_ref: (RB, 128);
     xw: (2*8, 128) VMEM scratch (lo/hi window rows for 8 planes).
@@ -81,11 +81,35 @@ def _cwell_kernel(srow_ref, x2d_ref, vals_ref, idx2_ref, y_ref, xw,
 
     def rb_body(rb, _):
         acc = jnp.zeros((8, LW), jnp.float32)
-        _, acc = lax_.fori_loop(0, G, g_body, (rb, acc), unroll=G if G <= 384 else 1)
+        if UCAP is None or G <= UCAP:
+            _, acc = lax_.fori_loop(0, G, g_body, (rb, acc),
+                                    unroll=G if G <= 384 else 1)
+        else:
+            # compile-lite: rolled outer loop over super-groups with an
+            # unrolled UCAP-group inner body (latency hides within each
+            # block; Mosaic code size is ~UCAP steps instead of G)
+            U = UCAP
+
+            def super_body(t, carry):
+                def inner(u, c):
+                    return g_body(lax_.add(lax_.mul(t, i32(U)), u), c)
+
+                return lax_.fori_loop(0, U, inner, carry, unroll=U)
+
+            carry = lax_.fori_loop(0, G // U, super_body, (rb, acc),
+                                   unroll=1)
+            rem = G % U
+            if rem:
+                def inner_e(u, c):
+                    return g_body(lax_.add(i32((G // U) * U), u), c)
+
+                carry = lax_.fori_loop(0, rem, inner_e, carry,
+                                       unroll=rem)
+            _, acc = carry
         y_ref[rb, :] = jnp.sum(acc, axis=0)
         return 0
 
-    lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
+    lax_.fori_loop(0, RB, rb_body, 0, unroll=1 if UCAP is not None else RB)
 
 
 def _gq_window_sources(srowq_ref, rb, g, refs, Q):
@@ -148,14 +172,17 @@ def _cwell_kernel_gq(srowq_ref, x2d_ref, vals_ref, idx2_ref, y_ref,
     lax_.fori_loop(0, RB, rb_body, 0, unroll=RB)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "rb", "group"))
-def _cwell_spmv_impl(vals, idx2, srow, x, *, shape, rb, group=1):
+@functools.partial(jax.jit, static_argnames=("shape", "rb", "group",
+                                             "unroll_cap"))
+def _cwell_spmv_impl(vals, idx2, srow, x, *, shape, rb, group=1,
+                     unroll_cap=None):
     with jax.enable_x64(False):  # 32-bit trace mode for Mosaic
         return _cwell_spmv_inner(vals, idx2, srow, x, shape=shape, rb=rb,
-                                 group=group)
+                                 group=group, unroll_cap=unroll_cap)
 
 
-def _cwell_spmv_inner(vals, idx2, srow, x, *, shape, rb, group=1):
+def _cwell_spmv_inner(vals, idx2, srow, x, *, shape, rb, group=1,
+                      unroll_cap=None):
     grouped = group > 1
     nb, S, _ = vals.shape
     n, m = shape
@@ -176,7 +203,8 @@ def _cwell_spmv_inner(vals, idx2, srow, x, *, shape, rb, group=1):
 
     kernel = (functools.partial(_cwell_kernel_gq, RB=rb, S=S, Q=group)
               if grouped else
-              functools.partial(_cwell_kernel, RB=rb, S=S))
+              functools.partial(_cwell_kernel, RB=rb, S=S,
+                                UCAP=unroll_cap))
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb_pad, LW), jnp.float32),
@@ -258,7 +286,8 @@ def cwell_spmv_pallas(A: CWELL, x: jax.Array, rb: int | None = None):
         return None  # plane-rich beyond VMEM even at rb=1 → XLA path
     y = _cwell_spmv_impl(A.vals, A.idx2, A.srow, x, shape=A.shape,
                          rb=rb_eff,
-                         group=getattr(A, "group", 1))
+                         group=getattr(A, "group", 1),
+                         unroll_cap=getattr(A, "unroll_cap", None))
     return y.astype(out_dtype)
 
 

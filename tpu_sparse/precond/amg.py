@@ -266,7 +266,8 @@ def _pack_tentative_p(P_sp: sp.csr_matrix, np_dt):
 def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
               max_levels: int = 50, coarse_size: int = 16,
               use_native: Optional[bool] = None,
-              smoothed: bool = False) -> AMGHierarchy:
+              smoothed: bool = False,
+              aggressive: int = 0) -> AMGHierarchy:
     """Build the AMG hierarchy on host. ``A`` must be concrete (not traced).
 
     The graph phase (strength + aggregation + Galerkin RAP) runs in the
@@ -281,6 +282,21 @@ def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
 
     if use_native is None:
         use_native = _native.available()
+    # remote-runtime staging: build every device array on the CPU backend
+    # and move the finished hierarchy in ONE batched device_put — per-leaf
+    # transfers each pay the remote RTT (r5: 81 s of the 110M-nnz setup
+    # was transfer round trips, not graph work)
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            hier = amg_setup(A, theta=theta, target_size=target_size,
+                             max_levels=max_levels, coarse_size=coarse_size,
+                             use_native=use_native, smoothed=smoothed,
+                             aggressive=aggressive)
+        # the finest-level operator is the caller's (already-placed)
+        # container: device_put is a no-op for it and batches the rest
+        return jax.device_put(hier, dev)
     A_sp = _to_scipy_csr(A)
     if A_sp.dtype != np.float64:
         A_sp = A_sp.astype(np.float64)
@@ -300,6 +316,36 @@ def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
             nc = int(agg.max()) + 1
         if nc >= current.shape[0]:  # no coarsening progress — stop
             break
+        # aggressive (pairwise^2-style) coarsening: re-aggregate the
+        # tentative coarse graph and compose, multiplying the coarsening
+        # ratio per level (~4 -> ~16). Cuts the hierarchy depth roughly
+        # in half — the V-cycle's small-level op-latency tail was ~5 ms
+        # of the ~10 ms cycle at 110M nnz (r4 VERDICT #6).
+        for _ in range(aggressive):
+            if nc <= coarse_size * 4:
+                break
+            ic1, jc1, vc1 = _native.rap_pc(
+                current.indptr, current.indices, current.data, agg, nc)                 if use_native else (None, None, None)
+            if ic1 is not None:
+                A_c1 = sp.csr_matrix((vc1, jc1, ic1), shape=(nc, nc))
+            else:
+                P1 = sp.csr_matrix(
+                    (np.ones(current.shape[0]), agg.astype(np.int32),
+                     np.arange(current.shape[0] + 1, dtype=np.int64)),
+                    shape=(current.shape[0], nc))
+                A_c1 = (P1.T @ current @ P1).tocsr()
+            if use_native:
+                agg2, nc2 = _native.aggregate(
+                    A_c1.indptr, A_c1.indices, A_c1.data, theta,
+                    target_size)
+            else:
+                S2 = _strength_graph(A_c1, theta)
+                agg2 = _aggregate(S2, target_size)
+                nc2 = int(agg2.max()) + 1
+            if nc2 >= nc:
+                break
+            agg = agg2[agg]
+            nc = nc2
         n = current.shape[0]
         # tentative P has exactly one entry per row — build CSR directly
         P_sp = sp.csr_matrix(
@@ -443,7 +489,8 @@ def amg_preconditioner(A, *, theta: float = 0.08, target_size: int = 4,
                        pre_sweeps: int = 1, post_sweeps: int = 1,
                        omega: float = 0.9,
                        smoother: str = "l1_jacobi",
-                       smoothed: bool = False) -> Partial:
+                       smoothed: bool = False,
+                       aggressive: int = 0) -> Partial:
     """Build M ≈ A⁻¹ as one AMG V-cycle (usable as ``M=`` in any solver).
 
     Setup runs on host; the returned Partial is a pytree whose leaves are
@@ -456,7 +503,8 @@ def amg_preconditioner(A, *, theta: float = 0.08, target_size: int = 4,
     """
     hier = amg_setup(A, theta=theta, target_size=target_size,
                      max_levels=max_levels, coarse_size=coarse_size,
-                     smoothed=smoothed)
+                     smoothed=smoothed,
+                     aggressive=aggressive)
     return Partial(
         _make_vcycle_apply(pre_sweeps, post_sweeps, omega, smoother), hier)
 

@@ -56,7 +56,7 @@ class CWELL:
     """Column-window ELL matrix (see module docstring)."""
 
     def __init__(self, vals, idx2, srow, shape, nnz=None, fill=None,
-                 group=1):
+                 group=1, unroll_cap=None):
         self.vals = vals
         self.idx2 = idx2
         self.srow = srow
@@ -67,6 +67,12 @@ class CWELL:
         # row (csr_to_cwell(group=Q)) — the Pallas kernel then does
         # 2*(8/Q) dynamic x-row reads per 8-plane group instead of 16.
         self.group = int(group) if group else 1
+        # compile-lite mode: bound the kernel's unrolled plane-group code
+        # to this many groups (rolled outer loops). Plane-rich packs that
+        # appear in MANY kernels per program (supernodal LU level packs)
+        # set this — full unroll costs ~0.65 s Mosaic compile per group
+        # (measured r5: one 2904-plane pack = 235 s compile).
+        self.unroll_cap = None if unroll_cap is None else int(unroll_cap)
 
     @property
     def grouped(self) -> bool:
@@ -74,13 +80,14 @@ class CWELL:
 
     def tree_flatten(self):
         return (self.vals, self.idx2, self.srow), (
-            self.shape, self._nnz, self.fill, self.group)
+            self.shape, self._nnz, self.fill, self.group, self.unroll_cap)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], children[1], children[2], aux[0],
                    nnz=aux[1], fill=aux[2],
-                   group=aux[3] if len(aux) > 3 else 1)
+                   group=aux[3] if len(aux) > 3 else 1,
+                   unroll_cap=aux[4] if len(aux) > 4 else None)
 
     @property
     def n_blocks(self) -> int:
@@ -102,7 +109,8 @@ class CWELL:
 
     def with_data(self, vals) -> "CWELL":
         return CWELL(vals, self.idx2, self.srow, self.shape,
-                     nnz=self._nnz, fill=self.fill, group=self.group)
+                     nnz=self._nnz, fill=self.fill, group=self.group,
+                     unroll_cap=self.unroll_cap)
 
     # -- conversions --------------------------------------------------------
 
