@@ -740,6 +740,19 @@ def main():
             "ldc_steps_per_s": round(out_ldc["steps_per_s"], 1),
             "ldc_mass_residual": out_ldc["mass_residual"],
         })
+        # reference-default size (origin script: nx=100, Re=400,
+        # dt=0.01 — fields cross-validated to ~2.5e-06 relative against
+        # /root/reference/FVM_example/LDC_by_scipy on CPU, r5;
+        # examples/ldc/validate_reference.py)
+        sim2 = LDCSolver(LDCConfig(nx=100, Re=400.0, solver="cg",
+                                   precond="jacobi", tol=1e-8, dt=0.01))
+        sim2.run(20, chunk=20)
+        out_ldc2 = sim2.run(100, chunk=100)
+        extra.update({
+            "ldc_ref_nx100_steps_per_s": round(
+                out_ldc2["steps_per_s"], 1),
+            "ldc_ref_nx100_mass_residual": out_ldc2["mass_residual"],
+        })
     except Exception as e:  # pragma: no cover
         extra["ldc_error"] = str(e)[:120]
     finally:

@@ -100,6 +100,7 @@ class LDCConfig:
     maxiter: int = 2000
     precond: str = "jacobi"     # 'none' | 'jacobi' | 'amg' | 'fsai'
     precision: str = "full"     # 'full' | 'mixed' (f32 inner pressure CG)
+    dt: Optional[float] = None  # explicit time step (default: CFL rule)
 
     def __post_init__(self):
         if self.ny is None:
@@ -117,8 +118,10 @@ class LDCSolver:
         self.dx = cfg.L / nx
         self.dy = cfg.L / ny
         self.nu = cfg.lid_velocity * cfg.L / cfg.Re
-        # CFL-limited dt (reference :59-61): convective + viscous limits.
-        self.dt = cfg.cfl * min(
+        # CFL-limited dt (reference :59-61): convective + viscous limits;
+        # cfg.dt overrides (e.g. to match the origin script's fixed rule
+        # for field-level cross-validation).
+        self.dt = cfg.dt if cfg.dt is not None else cfg.cfl * min(
             self.dx / cfg.lid_velocity,
             0.25 * self.dx**2 / self.nu,
         )
@@ -363,6 +366,8 @@ def run_solver_cli():
     ap.add_argument("--nx", type=int, default=64)
     ap.add_argument("--Re", type=float, default=100.0)
     ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--dt", type=float, default=None,
+                    help="explicit time step (default: CFL rule)")
     ap.add_argument("--method", default="cg",
                     choices=["cg", "bicgstab", "gmres", "direct", "amg"])
     ap.add_argument("--precond", default="jacobi",
@@ -396,7 +401,8 @@ def run_solver_cli():
         method, precond = "cg", "amg"
     tol = 1e-8 if not args.f32 else 2e-5  # f32 CG stalls below ~1e-6 rel
     cfg = LDCConfig(nx=args.nx, Re=args.Re, solver=method, precond=precond,
-                    tol=tol, precision="mixed" if args.mixed else "full")
+                    tol=tol, precision="mixed" if args.mixed else "full",
+                    dt=args.dt)
     solver = LDCSolver(cfg)
     if args.restore_state:
         solver.restore_state(args.restore_state)

@@ -539,3 +539,28 @@ if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-3
     from _standalone import run_standalone
 
     run_standalone(__file__)
+
+
+def test_cwell_pallas_interpret_unroll_cap():
+    """Partial-unroll (compile-lite) kernel path matches the reference:
+    rolled outer super-group loop + unrolled inner block, including the
+    remainder epilogue (r5: supernodal level packs set unroll_cap)."""
+    from tpu_sparse.kernels import pallas_cwell
+
+    A, Ad = _random_csr(640, 640, 0.08, seed=11)
+    x = jnp.asarray(
+        np.random.default_rng(12).standard_normal(640).astype(np.float32))
+    for cap in (1, 2, 3):
+        W = csr_to_cwell(A)
+        if W.planes // 8 <= cap:  # need G > cap to exercise the path
+            continue
+        W.unroll_cap = cap
+        y_ref = ref.cwell_spmv(W, x)
+        pallas_cwell._INTERPRET = True
+        try:
+            y = pallas_cwell.cwell_spmv_pallas(W, x)
+        finally:
+            pallas_cwell._INTERPRET = False
+        assert y is not None
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -384,6 +384,70 @@ class TPUValidationRunner:
         self._check("f64 auto-precision contract",
                     r.converged and rel <= 1e-10, f"rel={rel:.1e}")
 
+    def run_supernodal(self):
+        # level-scheduled general direct (r5): ND ordering + per-level
+        # Pallas SpMV + pre-inverted diagonal matmuls; adjoint solve via
+        # the reverse schedule on the same layout
+        import scipy.sparse as sp
+
+        from tpu_sparse.direct.supernodal import (SupernodalLU,
+                                                  supernodal_solve_diff)
+        from tpu_sparse.sparse import generators
+        from tpu_sparse.sparse.convert import csr_from_arrays, to_csr
+
+        A0 = to_csr(generators.poisson2d(64, dtype=np.float32))
+        n = A0.shape[0]
+        Asp = sp.csr_matrix((np.asarray(A0.data), np.asarray(A0.indices),
+                             np.asarray(A0.indptr)), shape=A0.shape)
+        Asp = (Asp + 0.1 * sp.triu(Asp, k=1)).tocsr().astype(np.float32)
+        Ac = csr_from_arrays(Asp.data, Asp.indices, Asp.indptr, Asp.shape)
+        lu = SupernodalLU.factor(Ac)
+        xt = np.random.default_rng(3).standard_normal(n).astype(np.float32)
+        b = jnp.asarray((Asp @ xt).astype(np.float32))
+        x = jax.jit(lambda l, rhs: l.solve(rhs))(lu, b)
+        rel = float(np.linalg.norm(
+            np.asarray(b) - Asp @ np.asarray(x)) / np.linalg.norm(b))
+        self._check("supernodal jitted solve", rel < 1e-4,
+                    f"rel={rel:.1e} levels={lu.n_levels}")
+        xT = lu.solve_transpose(b)
+        relT = float(np.linalg.norm(
+            np.asarray(b) - Asp.T @ np.asarray(xT)) / np.linalg.norm(b))
+        self._check("supernodal transpose solve", relT < 1e-4,
+                    f"rel={relT:.1e}")
+        g = jax.grad(lambda rhs: jnp.sum(
+            supernodal_solve_diff(lu, rhs)))(b)
+        self._check("supernodal grad b", self._grad_ok(g))
+        # router integration: method='direct' on a general CSR uses the
+        # supernodal path with one refinement step
+        from tpu_sparse.api.solver import SparseSolver
+
+        sv = SparseSolver()
+        xr, rr = sv.solve(Ac, b, method="direct")
+        self._check("router supernodal direct", rr.converged,
+                    f"rel={rr.residual:.1e}")
+
+    def run_complex_multirhs(self):
+        # complex (n, k) RHS through the router's vmapped real-pair
+        # embedding (r5 VERDICT #7)
+        from tpu_sparse.api.solver import SparseSolver
+        from tpu_sparse.sparse import generators
+
+        n, k = 256, 3
+        A = generators.tridiagonal(n, dtype=np.float64)
+        data = np.asarray(A.data)
+        Ad = (np.diag(data[1] + 0.3j) + np.diag(data[0][1:], -1)
+              + np.diag(data[2][:-1], 1)).astype(np.complex64)
+        rng = np.random.default_rng(4)
+        Xt = (rng.standard_normal((n, k))
+              + 1j * rng.standard_normal((n, k))).astype(np.complex64)
+        B = Ad @ Xt
+        X, res = SparseSolver().solve(Ad, B, method="gmres", tol=1e-6,
+                                      restart=30)
+        rel = (np.linalg.norm(np.asarray(X) - Xt)
+               / np.linalg.norm(Xt))
+        self._check("complex multi-RHS gmres", res.converged
+                    and rel < 1e-3, f"rel={rel:.1e}")
+
     def run_all(self) -> bool:
         self.run_krylov()
         self.run_mixed()
@@ -397,6 +461,8 @@ class TPUValidationRunner:
         self.run_fused_cg()
         self.run_fused_bicgstab()
         self.run_f64_auto()
+        self.run_supernodal()
+        self.run_complex_multirhs()
         ok = all(r.passed for r in self.records)
         for r in self.records:
             mark = "PASS" if r.passed else "FAIL"
