@@ -417,7 +417,7 @@ class SupernodalLU:
     # -- setup (host) -----------------------------------------------------
 
     @staticmethod
-    def factor(A, block: int = _BLOCK, leaf: int = 448,
+    def factor(A, block: int = _BLOCK, leaf: int = 896,
                with_transpose: bool = True) -> "SupernodalLU":
         """Factorize a concrete square sparse matrix on host.
 
@@ -477,14 +477,22 @@ class SupernodalLU:
         perm_r = np.asarray(lu.perm_r, dtype=np.int64)
         perm_c = np.asarray(lu.perm_c, dtype=np.int64)
 
-        diagL, (packsL, metaL), (packsLT, metaLT), rangesL, slotL = \
-            _layout_and_packs(Lc, row_map, n_pad, s, True, dtype,
-                              unit_lower=True,
-                              with_transpose=with_transpose)
-        diagU, (packsU, metaU), (packsUT, metaUT), rangesU, slotU = \
-            _layout_and_packs(Uc, row_map, n_pad, s, False, dtype,
-                              unit_lower=False,
-                              with_transpose=with_transpose)
+        # L and U plans build concurrently: the heavy parts (numpy
+        # mapping passes, the C++ pack kernels, LAPACK batched inverse)
+        # release the GIL
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fL = ex.submit(_layout_and_packs, Lc, row_map, n_pad, s,
+                           True, dtype, unit_lower=True,
+                           with_transpose=with_transpose)
+            fU = ex.submit(_layout_and_packs, Uc, row_map, n_pad, s,
+                           False, dtype, unit_lower=False,
+                           with_transpose=with_transpose)
+            diagL, (packsL, metaL), (packsLT, metaLT), rangesL, slotL = \
+                fL.result()
+            diagU, (packsU, metaU), (packsUT, metaUT), rangesU, slotU = \
+                fU.result()
 
         # index plumbing. The permuted system is Ap x' = b' with
         # b'_i = b[sigma_i], x[sigma_i] = x'_i; splu then wants

@@ -34,7 +34,7 @@ def run_tests(quick: bool = False, quiet: bool = False) -> bool:
         args = args[:3] + [
             os.path.join(repo_root, "tests", f) for f in
             ("test_solvers.py", "test_api.py", "test_sparse.py",
-             "test_direct.py")
+             "test_direct.py", "test_supernodal.py")
         ] + args[4:]
     proc = subprocess.run(args, cwd=repo_root)
     return proc.returncode == 0
