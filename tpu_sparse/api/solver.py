@@ -724,7 +724,26 @@ class SparseSolver:
         if sel_backend == "direct":
             # solve + per-column residual report in ONE device program
             # (a per-column Python loop would dispatch k extra programs
-            # through the remote runtime)
+            # through the remote runtime). General sparse beyond the
+            # densify limit on TPU: the supernodal factors handle (n, k)
+            # natively (r5) — same path as the single-RHS direct solve.
+            from tpu_sparse import direct as _direct
+
+            if (_direct.needs_host_splu(A)
+                    and jax.default_backend() == "tpu"):
+                try:
+                    snlu = self._supernodal_lu(A)
+                    if snlu.device_capable:
+                        X, info, rel = _jitted_supernodal_batch()(
+                            snlu, A, B)
+                        iters = None
+                        result = SolverResult(
+                            x=X, converged=(info == 0), iterations=None,
+                            residual=rel, backend=report_backend,
+                            method=report_method)
+                        return X, result
+                except Exception:
+                    pass
             X, info, rel = _jitted_batch_direct()(A, B)
             iters = None
         elif method in ("cg", "cg_sr"):
@@ -1113,6 +1132,29 @@ def _jitted_supernodal():
         x = x + supernodal_solve_diff(lu, b - spmv(A, x))
         info, res, rel = direct_residual_info(A, b, x)
         return x, info, res, rel
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_supernodal_batch():
+    """Multi-RHS level-scheduled direct solve + one refinement step +
+    per-column residual report as one device program."""
+    from tpu_sparse.direct.supernodal import supernodal_solve_diff
+    from tpu_sparse.kernels import spmm
+
+    def run(lu, A, B):
+        X = supernodal_solve_diff(lu, B)
+        X = X + supernodal_solve_diff(lu, B - spmm(A, X))
+        R = B - spmm(A, X)
+        res = jnp.linalg.norm(R, axis=0)
+        bn = jnp.linalg.norm(B, axis=0)
+        rel_tol = 1e-8 if jnp.finfo(B.dtype).bits >= 64 else 1e-4
+        ok = jnp.isfinite(res) & (
+            res <= jnp.maximum(rel_tol * bn, jnp.finfo(B.dtype).tiny))
+        info = jnp.where(jnp.all(ok), 0, -1).astype(jnp.int32)
+        rels = res / jnp.where(bn > 0, bn, 1.0)
+        return X, info, jnp.max(rels)
 
     return jax.jit(run)
 
