@@ -100,3 +100,29 @@ if __name__ == "__main__":  # standalone entry (reference test_module_a.py:358-3
     from _standalone import run_standalone
 
     run_standalone(__file__)
+
+
+def test_batched_device_put_roundtrip():
+    """utils/transfer: packed per-dtype transfer reproduces every leaf
+    (shape, dtype, values) and passes non-arrays through."""
+    import numpy as np
+
+    from tpu_sparse.utils.transfer import batched_device_put
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "f32": [rng.standard_normal((3, 5)).astype(np.float32),
+                rng.standard_normal(7).astype(np.float32)],
+        "i32": np.arange(11, dtype=np.int32).reshape(1, 11),
+        "f64": rng.standard_normal((2, 2, 2)),
+        "scalar": 42,
+        "none": None,
+    }
+    out = batched_device_put(tree)
+    np.testing.assert_array_equal(np.asarray(out["f32"][0]),
+                                  tree["f32"][0])
+    np.testing.assert_array_equal(np.asarray(out["f32"][1]),
+                                  tree["f32"][1])
+    np.testing.assert_array_equal(np.asarray(out["i32"]), tree["i32"])
+    np.testing.assert_array_equal(np.asarray(out["f64"]), tree["f64"])
+    assert out["scalar"] == 42 and out["none"] is None
