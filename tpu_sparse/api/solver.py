@@ -608,8 +608,11 @@ class SparseSolver:
                 if snlu.device_capable:
                     x, info, res, rel = _jitted_supernodal()(snlu, A, b)
                     return x, info, None, res, rel
-            except Exception:
-                pass
+            except Exception as e:
+                warnings.warn(
+                    "supernodal direct path failed "
+                    f"({type(e).__name__}: {str(e)[:120]}); falling back "
+                    "to the block-sweep/host direct solver", stacklevel=3)
             lu = (self._sparse_lu(A)
                   if A.shape[0] <= _SPARSE_LU_DEVICE_N_CAP else None)
             if lu is not None and is_device_capable(lu):
@@ -742,8 +745,12 @@ class SparseSolver:
                             residual=rel, backend=report_backend,
                             method=report_method)
                         return X, result
-                except Exception:
-                    pass
+                except Exception as e:
+                    warnings.warn(
+                        "supernodal multi-RHS direct path failed "
+                        f"({type(e).__name__}: {str(e)[:120]}); falling "
+                        "back to the batched dense direct solver",
+                        stacklevel=3)
             X, info, rel = _jitted_batch_direct()(A, B)
             iters = None
         elif method in ("cg", "cg_sr"):

@@ -142,7 +142,7 @@ def _block_plane_est(ro, co, s):
 
     blk = ro // s
     if len(blk) == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.zeros(0, np.int64)
     nwin_max = int(co.max()) // WIN + 1
     key = (blk * nwin_max + co // WIN) * s + ro % s
     uk, cnt = np.unique(key, return_counts=True)

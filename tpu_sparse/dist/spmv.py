@@ -204,8 +204,8 @@ def plan_halo_host(srow_np, used_np, shape, n_dev: int):
 def plan_cwell_halo(W, mesh: Mesh):
     """Halo plan for an ALREADY-SHARDED CWELL (fetches pack metadata to
     host — single-controller only; multi-process solves get their plan
-    from the pre-shard host copy in ``partition.shard_general`` instead,
-    which this function merely mirrors).
+    from the pre-shard host copy in ``partition.shard_general_planned``
+    instead, which this function merely mirrors).
 
     Returns a HaloCWELL with srow shifted to the local frame — or None
     when any device's windows overhang beyond what the ring exchange can

@@ -267,7 +267,8 @@ def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
               max_levels: int = 50, coarse_size: int = 16,
               use_native: Optional[bool] = None,
               smoothed: bool = False,
-              aggressive: int = 0) -> AMGHierarchy:
+              aggressive: int = 0,
+              _staged: bool = False) -> AMGHierarchy:
     """Build the AMG hierarchy on host. ``A`` must be concrete (not traced).
 
     The graph phase (strength + aggregation + Galerkin RAP) runs in the
@@ -283,20 +284,24 @@ def amg_setup(A, *, theta: float = 0.08, target_size: int = 4,
     if use_native is None:
         use_native = _native.available()
     # remote-runtime staging: build every device array on the CPU backend
-    # and move the finished hierarchy in ONE batched device_put — per-leaf
+    # and move the finished hierarchy in one batched transfer — per-leaf
     # transfers each pay the remote RTT (r5: 81 s of the 110M-nnz setup
-    # was transfer round trips, not graph work)
+    # was transfer round trips, not graph work). jax.devices() ignores
+    # the default_device context, so the inner call must be told it is
+    # already staged rather than re-checking the platform.
     dev = jax.devices()[0]
-    if dev.platform != "cpu":
+    if dev.platform != "cpu" and not _staged:
+        from tpu_sparse.utils.transfer import batched_device_put
+
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             hier = amg_setup(A, theta=theta, target_size=target_size,
                              max_levels=max_levels, coarse_size=coarse_size,
                              use_native=use_native, smoothed=smoothed,
-                             aggressive=aggressive)
+                             aggressive=aggressive, _staged=True)
         # the finest-level operator is the caller's (already-placed)
         # container: device_put is a no-op for it and batches the rest
-        return jax.device_put(hier, dev)
+        return batched_device_put(hier, dev)
     A_sp = _to_scipy_csr(A)
     if A_sp.dtype != np.float64:
         A_sp = A_sp.astype(np.float64)

@@ -39,6 +39,11 @@ class OperandCache:
 
     def get_or_build(self, A, build: Callable[[], Any],
                      extra: Hashable = ()) -> Any:
+        # drop entries whose operand died: their values may pin large
+        # device buffers (e.g. sharded packs) past the matrix lifetime
+        dead = [k for k, e in self._store.items() if e[0]() is None]
+        for k in dead:
+            del self._store[k]
         key = content_key(A, extra)
         entry = self._store.get(key)
         if entry is not None:
