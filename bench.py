@@ -25,12 +25,38 @@ and on-device time (slope).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+
+def _probe_backend(timeout_s: int = 180) -> bool:
+    """True if the default JAX backend initializes in a subprocess.
+
+    The tunneled TPU runtime can wedge such that jax.devices() blocks
+    forever (observed r5: multi-hour outage); probing in a subprocess
+    lets the bench fall back to CPU instead of hanging the driver."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except Exception:
+        return False
+
+
+_BACKEND_OK = _probe_backend()
+
 import jax
+
+if not _BACKEND_OK:
+    # must happen before first backend use; env vars do not override
+    jax.config.update("jax_platforms", "cpu")
+    print("WARNING: default backend unreachable (tunnel down?); "
+          "running the bench on CPU", file=sys.stderr, flush=True)
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
