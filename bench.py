@@ -665,9 +665,11 @@ def main():
                 "bicgstab_110M_converged": bool(int(bi_info) == 0),
             })
 
-            # GMRES completes the at-scale Krylov trio (no fused variant:
-            # the restart-cycle cost is CGS2 orthogonalization traffic
-            # against the stored basis, not fusable into the SpMV stream)
+            # GMRES completes the at-scale Krylov trio. The restart-cycle
+            # cost is orthogonalization traffic against the stored basis
+            # (not fusable into the SpMV stream); r5 cut it with blocked
+            # prefix projections + the reference's conditional second
+            # CGS pass (krylov._iterative_classical_gram_schmidt)
             _progress("gmres 110M")
             from tpu_sparse.solvers import gmres_full
 

@@ -188,12 +188,17 @@ def sec5_amg_aniso():
 
 
 if __name__ == "__main__":
-    for name, fn in (("supernodal", sec1_supernodal),
-                     ("gmres110", sec2_gmres110),
-                     ("router_cg110", sec3_router_cg110),
-                     ("cwell_groups", sec4_cwell_groups),
-                     ("amg_aniso", sec5_amg_aniso)):
+    # Run each section in its OWN process (pass names as argv): a tunnel
+    # failure mid-section poisons the whole TPU client — the first run of
+    # this script lost 4/5 sections to one remote-compile disconnect.
+    sections = {"supernodal": sec1_supernodal,
+                "gmres110": sec2_gmres110,
+                "router_cg110": sec3_router_cg110,
+                "cwell_groups": sec4_cwell_groups,
+                "amg_aniso": sec5_amg_aniso}
+    names = sys.argv[1:] or list(sections)
+    for name in names:
         try:
-            fn()
+            sections[name]()
         except Exception as e:
             print(f"[{name}] ERROR: {str(e)[:200]}", flush=True)

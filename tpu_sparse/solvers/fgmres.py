@@ -40,8 +40,8 @@ from tpu_sparse.utils.tree import (
 
 
 class _FGmresCarry(NamedTuple):
-    V: Any                # Krylov basis, trailing axis restart+1
-    Z: Any                # preconditioned basis M(V_k), trailing axis restart
+    V: Any                # Krylov basis, LEADING axis restart+1
+    Z: Any                # preconditioned basis M(V_k), LEADING axis restart
     R: jax.Array
     beta_vec: jax.Array
     givens: jax.Array
@@ -54,11 +54,11 @@ def _fgmres_cycle(A, M, b, x0, unit_residual, residual_norm, ptol, restart):
     dtype = _float_dtype(b)
     eps = jnp.finfo(_real_dtype(dtype)).eps
     V0 = tree_map(
-        lambda u: jnp.pad(u[..., None], [(0, 0)] * u.ndim + [(0, restart)]),
+        lambda u: jnp.pad(u[None], [(0, restart)] + [(0, 0)] * u.ndim),
         unit_residual,
     )
     Z0 = tree_map(
-        lambda u: jnp.zeros(u.shape + (restart,), u.dtype), unit_residual)
+        lambda u: jnp.zeros((restart,) + u.shape, u.dtype), unit_residual)
     R0 = jnp.zeros((restart, restart), dtype)
     beta0 = jnp.zeros((restart + 1,), dtype).at[0].set(
         residual_norm.astype(dtype))
@@ -68,17 +68,18 @@ def _fgmres_cycle(A, M, b, x0, unit_residual, residual_norm, ptol, restart):
         return (c.k < restart) & (c.err > ptol) & jnp.logical_not(c.breakdown)
 
     def body(c: _FGmresCarry):
-        v_k = tree_map(lambda Vl: Vl[..., c.k], c.V)
+        v_k = tree_map(lambda Vl: Vl[c.k], c.V)
         z = M(v_k)
         w = A(z)
-        tol_k = eps * tree_norm(w)
-        w, h = _iterative_classical_gram_schmidt(c.V, w)
+        w_pre = tree_norm(w)
+        tol_k = eps * w_pre
+        w, h = _iterative_classical_gram_schmidt(c.V, w, x_norm=w_pre)
         unit_w, w_norm = _safe_normalize(w, thresh=tol_k)
         V = tree_map(
-            lambda Vl, ul: Vl.at[..., c.k + 1].set(ul.astype(Vl.dtype)),
+            lambda Vl, ul: Vl.at[c.k + 1].set(ul.astype(Vl.dtype)),
             c.V, unit_w)
         Z = tree_map(
-            lambda Zl, zl: Zl.at[..., c.k].set(zl.astype(Zl.dtype)), c.Z, z)
+            lambda Zl, zl: Zl.at[c.k].set(zl.astype(Zl.dtype)), c.Z, z)
         h = h.at[c.k + 1].set(w_norm.astype(dtype))
         brk = w_norm == 0.0
         col, cs_k, sn_k = _apply_givens_rotations(h, c.givens, c.k, restart)
@@ -102,7 +103,7 @@ def _fgmres_cycle(A, M, b, x0, unit_residual, residual_norm, ptol, restart):
     y = _upper_triangular_solve(R, rhs)
     dx = tree_map(
         lambda Zl: jnp.einsum(
-            "...k,k->...", Zl, y.astype(Zl.dtype),
+            "k...,k->...", Zl, y.astype(Zl.dtype),
             precision=lax.Precision.HIGHEST),
         carry.Z)
     x = tree_add(x0, dx)

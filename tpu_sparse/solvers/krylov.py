@@ -312,12 +312,17 @@ def _safe_normalize(x, thresh=None):
 def _project_on_columns(V, x):
     """h[j] = <V_j, x> for every stacked basis column j.
 
-    V leaves have a trailing basis axis of size (restart+1).
-    (Reference `_project_on_columns`, torch_sparse_linalg.py:276-281.)
+    V leaves have a LEADING basis axis of size (restart+1): basis columns
+    are contiguous in HBM, so prefix-blocked sweeps and per-column
+    reads/writes touch exactly the bytes they use. (With the trailing
+    layout every BK-column block read paid the full padded basis width
+    per cache line — measured 3.5 ms/Arnoldi step at 110M nnz vs ~1.4
+    bandwidth-bound.) (Reference `_project_on_columns`,
+    torch_sparse_linalg.py:276-281.)
     """
     def leaf_proj(Vl, xl):
         return jnp.einsum(
-            "...k,...->k", Vl.conj(), xl,
+            "k...,...->k", Vl.conj(), xl,
             precision=lax.Precision.HIGHEST,
         )
 
@@ -326,10 +331,10 @@ def _project_on_columns(V, x):
 
 
 def _sub_from_columns(V, h, x):
-    """x - V @ h, leafwise over the trailing basis axis."""
+    """x - V @ h, leafwise over the leading basis axis."""
     def leaf_sub(xl, Vl):
         return xl - jnp.einsum(
-            "...k,k->...", Vl, h.astype(Vl.dtype),
+            "k...,k->...", Vl, h.astype(Vl.dtype),
             precision=lax.Precision.HIGHEST,
         )
 
@@ -344,11 +349,12 @@ def _project_on_prefix(V, x, kplus):
     structurally zero). Blocked dynamic-prefix sweep: HBM traffic scales
     with the FILLED basis, not the restart width — at 110M nnz the full
     einsum made every Arnoldi step pay 4 x restart x 16 MB of CGS2
-    traffic regardless of k (r4 VERDICT #4). Requires the trailing basis
-    axis padded to a multiple of _PROJ_BLOCK (the cycle drivers do)."""
+    traffic regardless of k (r4 VERDICT #4). Requires the leading basis
+    axis padded to a multiple of _PROJ_BLOCK (the cycle drivers do);
+    leading-axis blocks are contiguous in HBM."""
     leaves_V = tree_leaves(V)
     leaves_x = tree_leaves(x)
-    m1p = leaves_V[0].shape[-1]
+    m1p = leaves_V[0].shape[0]
     BK = min(_PROJ_BLOCK, m1p)
     res_dtype = jnp.result_type(*[Vl.dtype for Vl in leaves_V])
     nb = jnp.minimum((kplus + BK - 1) // BK, m1p // BK)
@@ -357,9 +363,9 @@ def _project_on_prefix(V, x, kplus):
         off = bidx * BK
         acc = jnp.zeros((BK,), res_dtype)
         for Vl, xl in zip(leaves_V, leaves_x):
-            Vb = lax.dynamic_slice_in_dim(Vl, off, BK, axis=-1)
+            Vb = lax.dynamic_slice_in_dim(Vl, off, BK, axis=0)
             acc = acc + jnp.einsum(
-                "...k,...->k", Vb.conj(), xl,
+                "k...,...->k", Vb.conj(), xl,
                 precision=lax.Precision.HIGHEST).astype(res_dtype)
         return lax.dynamic_update_slice(h, acc, (off,))
 
@@ -367,9 +373,9 @@ def _project_on_prefix(V, x, kplus):
 
 
 def _sub_from_prefix(V, h, x, kplus):
-    """x - V[:, :kplus] @ h[:kplus], blocked like _project_on_prefix."""
+    """x - V[:kplus]ᵀ @ h[:kplus], blocked like _project_on_prefix."""
     leaves_V = tree_leaves(V)
-    m1p = leaves_V[0].shape[-1]
+    m1p = leaves_V[0].shape[0]
     BK = min(_PROJ_BLOCK, m1p)
     nb = jnp.minimum((kplus + BK - 1) // BK, m1p // BK)
 
@@ -378,50 +384,70 @@ def _sub_from_prefix(V, h, x, kplus):
         hb = lax.dynamic_slice(h, (off,), (BK,))
         return tree_map(
             lambda xl, Vl: xl - jnp.einsum(
-                "...k,k->...",
-                lax.dynamic_slice_in_dim(Vl, off, BK, axis=-1),
+                "k...,k->...",
+                lax.dynamic_slice_in_dim(Vl, off, BK, axis=0),
                 hb.astype(Vl.dtype),
                 precision=lax.Precision.HIGHEST), xs, V)
 
     return lax.fori_loop(0, nb, body, x)
 
 
-def _iterative_classical_gram_schmidt(V, x, kplus=None, max_passes: int = 2):
-    """CGS2: two classical Gram-Schmidt passes (numerically equivalent to the
-    reference's conditional re-orthogonalization, :284-328, which performs up
-    to two passes; two unconditional passes is the standard stable variant
-    and keeps the TPU program static). ``kplus`` (number of filled basis
-    columns) switches to the blocked prefix sweeps."""
+def _iterative_classical_gram_schmidt(V, x, kplus=None, max_passes: int = 2,
+                                      x_norm=None):
+    """Iterative classical Gram-Schmidt, up to ``max_passes`` passes.
+
+    Matches the reference's conditional re-orthogonalization (:284-328):
+    when ``x_norm`` (the pre-orthogonalization ‖x‖, usually already
+    computed by the caller for the breakdown threshold) is given, the
+    second pass runs only if pass one cancelled more than half the norm
+    (‖q‖ < ‖x‖/√2) — a `lax.cond`, so well-conditioned Arnoldi steps pay
+    a single pass of basis traffic (the dominant HBM cost at scale).
+    Without ``x_norm`` both passes run unconditionally (CGS2). ``kplus``
+    (number of filled basis columns) switches to the blocked prefix
+    sweeps so traffic scales with the filled basis, not the restart
+    width."""
     if kplus is None:
-        h = _project_on_columns(V, x)
-        q = _sub_from_columns(V, h, x)
+        proj = lambda y: _project_on_columns(V, y)
+        sub = lambda hh, y: _sub_from_columns(V, hh, y)
+    else:
+        proj = lambda y: _project_on_prefix(V, y, kplus)
+        sub = lambda hh, y: _sub_from_prefix(V, hh, y, kplus)
+    h = proj(x)
+    q = sub(h, x)
+    if x_norm is None:
         for _ in range(max_passes - 1):
-            dh = _project_on_columns(V, q)
-            q = _sub_from_columns(V, dh, q)
+            dh = proj(q)
+            q = sub(dh, q)
             h = h + dh
         return q, h
-    h = _project_on_prefix(V, x, kplus)
-    q = _sub_from_prefix(V, h, x, kplus)
-    for _ in range(max_passes - 1):
-        dh = _project_on_prefix(V, q, kplus)
-        q = _sub_from_prefix(V, dh, q, kplus)
-        h = h + dh
-    return q, h
+
+    def reorth(args):
+        q, h = args
+        for _ in range(max_passes - 1):
+            dh = proj(q)
+            q = sub(dh, q)
+            h = h + dh
+        return q, h
+
+    need = tree_norm(q) * 1.4142135623730951 < x_norm
+    return lax.cond(need, reorth, lambda args: args, (q, h))
 
 
 def _kth_arnoldi_iteration(k, A, M, V, H):
-    """One Arnoldi step (reference :331-388). V: pytree with trailing axis
+    """One Arnoldi step (reference :331-388). V: pytree with LEADING axis
     restart+1; H: (restart, restart+1) row k holds projections."""
     dtype = H.dtype
     eps = jnp.finfo(_real_dtype(dtype)).eps
 
-    v_k = tree_map(lambda Vl: Vl[..., k], V)
+    v_k = tree_map(lambda Vl: Vl[k], V)
     w = M(A(v_k))
-    tol_k = eps * tree_norm(w)  # breakdown threshold from pre-orthog norm
-    w, h = _iterative_classical_gram_schmidt(V, w, kplus=k + 1)
+    w_pre = tree_norm(w)
+    tol_k = eps * w_pre  # breakdown threshold from pre-orthog norm
+    w, h = _iterative_classical_gram_schmidt(V, w, kplus=k + 1,
+                                             x_norm=w_pre)
     unit_w, w_norm = _safe_normalize(w, thresh=tol_k)
     V = tree_map(
-        lambda Vl, ul: Vl.at[..., k + 1].set(ul.astype(Vl.dtype)), V, unit_w
+        lambda Vl, ul: Vl.at[k + 1].set(ul.astype(Vl.dtype)), V, unit_w
     )
     h = h[:H.shape[1]].astype(dtype)  # trailing axis may be block-padded
     h = h.at[k + 1].set(w_norm.astype(dtype))
@@ -521,7 +547,7 @@ def _gmres_batched(A, b, x0, unit_residual, residual_norm, ptol, restart, M):
     dtype = _float_dtype(b)
     pad_cols = -(-(restart + 1) // _PROJ_BLOCK) * _PROJ_BLOCK - 1
     V0 = tree_map(
-        lambda u: jnp.pad(u[..., None], [(0, 0)] * u.ndim + [(0, pad_cols)]),
+        lambda u: jnp.pad(u[None], [(0, pad_cols)] + [(0, 0)] * u.ndim),
         unit_residual,
     )
     H0 = jnp.zeros((restart, restart + 1), dtype)
@@ -545,7 +571,7 @@ def _gmres_batched(A, b, x0, unit_residual, residual_norm, ptol, restart, M):
         y = _lstsq_qr(carry.H, residual_norm.astype(dtype), restart)
     dx = tree_map(
         lambda Vl: jnp.einsum(
-            "...k,k->...", Vl[..., :restart], y.astype(Vl.dtype),
+            "k...,k->...", Vl[:restart], y.astype(Vl.dtype),
             precision=lax.Precision.HIGHEST,
         ),
         carry.V,
@@ -601,7 +627,7 @@ def _gmres_incremental(A, b, x0, unit_residual, residual_norm, ptol, restart, M)
     dtype = _float_dtype(b)
     pad_cols = -(-(restart + 1) // _PROJ_BLOCK) * _PROJ_BLOCK - 1
     V0 = tree_map(
-        lambda u: jnp.pad(u[..., None], [(0, 0)] * u.ndim + [(0, pad_cols)]),
+        lambda u: jnp.pad(u[None], [(0, pad_cols)] + [(0, 0)] * u.ndim),
         unit_residual,
     )
     R0 = jnp.zeros((restart, restart), dtype)
@@ -641,7 +667,7 @@ def _gmres_incremental(A, b, x0, unit_residual, residual_norm, ptol, restart, M)
     y = _upper_triangular_solve(R, rhs)
     dx = tree_map(
         lambda Vl: jnp.einsum(
-            "...k,k->...", Vl[..., :restart], y.astype(Vl.dtype),
+            "k...,k->...", Vl[:restart], y.astype(Vl.dtype),
             precision=lax.Precision.HIGHEST,
         ),
         carry.V,
